@@ -1,0 +1,109 @@
+"""SAM emission (SURVEY.md §2 #15; reference used net.sf.samtools).
+
+Deterministic, device-count-independent output: records are emitted in input
+read order and tie-breaking among equal-score candidates is resolved upstream
+by (position, strand) order — see ``models.pipeline`` — so the SAM bytes are
+identical whatever mesh produced the alignments.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import dna
+
+FLAG_UNMAPPED = 0x4
+FLAG_REVERSE = 0x10
+
+
+@dataclass
+class SamRecord:
+    qname: str
+    flag: int
+    rname: str
+    pos: int  # 0-based; emitted 1-based
+    mapq: int
+    cigar: str
+    seq: str
+    qual: str
+    tags: tuple = ()
+
+    def line(self) -> str:
+        fields = [
+            self.qname,
+            str(self.flag),
+            self.rname,
+            str(self.pos + 1),
+            str(self.mapq),
+            self.cigar,
+            "*",
+            "0",
+            "0",
+            self.seq,
+            self.qual,
+        ]
+        fields += [f"{k}:{t}:{v}" for (k, t, v) in self.tags]
+        return "\t".join(fields)
+
+
+def unmapped(read_name: str, codes: np.ndarray, qual=None) -> SamRecord:
+    return SamRecord(
+        qname=read_name,
+        flag=FLAG_UNMAPPED,
+        rname="*",
+        pos=-1,
+        mapq=0,
+        cigar="*",
+        seq=dna.decode(codes),
+        qual=_qual_str(qual, codes.size),
+    )
+
+
+def mapped(
+    read_name: str,
+    codes: np.ndarray,
+    rname: str,
+    pos: int,
+    strand: int,
+    cigar: str,
+    edit_distance: int,
+    mapq: int = 37,
+    qual=None,
+) -> SamRecord:
+    seq_codes = dna.revcomp(codes) if strand else codes
+    q = _qual_str(qual, codes.size)
+    if strand:
+        q = q[::-1]
+    return SamRecord(
+        qname=read_name,
+        flag=FLAG_REVERSE if strand else 0,
+        rname=rname,
+        pos=pos,
+        mapq=mapq,
+        cigar=cigar,
+        seq=dna.decode(seq_codes),
+        qual=q,
+        tags=(("NM", "i", str(edit_distance)),),
+    )
+
+
+def _qual_str(qual, n: int) -> str:
+    if qual is None:
+        return "*"
+    return (np.asarray(qual, dtype=np.int32) + 33).astype(np.uint8).tobytes().decode()
+
+
+def header(names: list[str], lengths: list[int], prog: str = "gwa-tpu") -> str:
+    lines = ["@HD\tVN:1.6\tSO:unsorted"]
+    lines += [f"@SQ\tSN:{n}\tLN:{ln}" for n, ln in zip(names, lengths)]
+    lines.append(f"@PG\tID:{prog}\tPN:{prog}")
+    return "\n".join(lines)
+
+
+def write_sam(path, hdr: str, records) -> None:
+    with open(path, "w") as fh:
+        fh.write(hdr + "\n")
+        for r in records:
+            fh.write(r.line() + "\n")
