@@ -1,0 +1,168 @@
+"""Device-side FM-index rank/occ and LF primitives (SURVEY.md §2 #6/P6).
+
+This is the hot lookup of the whole aligner (reference
+`OccurrenceCountTable.occ` — the checkpoint + popcount scan), rebuilt as
+batched JAX ops: every query is one (8-word gather + XOR/popcount reduce),
+vectorised over a read-cohort axis.  Bit layout matches ``utils.packing`` and
+``index.build`` exactly; tests assert bit-identical results vs. the NumPy
+oracle.
+
+All device indices are int32 (single index <= 2^31-1 elements, see
+``utils.larray``); words are uint32 with 16 bases each; occurrence
+checkpoints every ``BLOCK_BASES`` = 128 bases (8 words).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.build import BLOCK_BASES, WORDS_PER_BLOCK, FMIndexData
+
+_PAIR = jnp.uint32(0x55555555)
+_FULL = jnp.uint32(0xFFFFFFFF)
+
+MARK_BLOCK_BITS = 128
+MARK_WORDS_PER_BLOCK = MARK_BLOCK_BITS // 32
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DeviceFMIndex:
+    """HBM-resident FM-index tables (one strand direction)."""
+
+    bwt_blocks: jax.Array  # (nb+1, 8) uint32 — packed BWT, block-major
+    occ_cp: jax.Array  # (nb+1, 4) int32 — occ_packed at block starts
+    C: jax.Array  # (5,) int32
+    primary: jax.Array  # () int32 — row of $ in sentinel-inclusive BWT
+    mark_blocks: jax.Array  # (mb, 4) uint32 — sparse-SA row marks
+    mark_cp: jax.Array  # (mb+1,) int32 — rank1 checkpoints over marks
+    ssa_values: jax.Array  # (n_samples,) int32 — sampled SA values, row order
+    n: int = dataclasses.field(metadata=dict(static=True))
+    sample_rate: int = dataclasses.field(metadata=dict(static=True))
+
+
+def from_host(fm: FMIndexData) -> DeviceFMIndex:
+    nb_total = fm.bwt_words.size // WORDS_PER_BLOCK
+    marks = fm.ssa_marks
+    mw = marks._wpad
+    mb = mw.size // MARK_WORDS_PER_BLOCK
+    return DeviceFMIndex(
+        bwt_blocks=jnp.asarray(fm.bwt_words.reshape(nb_total, WORDS_PER_BLOCK)),
+        occ_cp=jnp.asarray(fm.occ_cp.astype(np.int32)),
+        C=jnp.asarray(fm.C.astype(np.int32)),
+        primary=jnp.asarray(np.int32(fm.primary)),
+        mark_blocks=jnp.asarray(mw.reshape(mb, MARK_WORDS_PER_BLOCK)),
+        mark_cp=jnp.asarray(marks.checkpoints.astype(np.int32)),
+        ssa_values=jnp.asarray(fm.ssa_values.astype(np.int32)),
+        n=int(fm.n),
+        sample_rate=int(fm.sample_rate),
+    )
+
+
+def _pair_masks(r: jax.Array) -> jax.Array:
+    """(...,) base offsets in [0, 128] -> (..., 8) uint32 pair masks.
+
+    Word j of a block may count min(max(r - 16j, 0), 16) leading bases; the
+    mask covers exactly those 2-bit slots.  Shift-by-32 is avoided by
+    selecting on the zero case.
+    """
+    allowed = jnp.clip(
+        r[..., None] - BLOCK_BASES // WORDS_PER_BLOCK * jnp.arange(WORDS_PER_BLOCK, dtype=r.dtype),
+        0,
+        16,
+    ).astype(jnp.uint32)
+    shift = 2 * allowed  # 0..32
+    safe = jnp.clip(32 - shift, 0, 31).astype(jnp.uint32)
+    return jnp.where(shift == 0, jnp.uint32(0), _FULL >> safe)
+
+
+def _match_counts(words: jax.Array, code: jax.Array, pair_masks: jax.Array) -> jax.Array:
+    """#bases equal to ``code`` within the masked slots; sums last axis."""
+    x = words ^ (code[..., None].astype(jnp.uint32) * _PAIR)
+    mm = ~(x | (x >> jnp.uint32(1))) & _PAIR & pair_masks
+    return jnp.sum(jax.lax.population_count(mm).astype(jnp.int32), axis=-1)
+
+
+def occ_codes(fm: DeviceFMIndex, codes: jax.Array, k: jax.Array) -> jax.Array:
+    """occ$(codes[i], k[i]) for each lane i — sentinel-inclusive coordinates."""
+    k_adj = (k - (k > fm.primary)).astype(jnp.int32)
+    b = k_adj // BLOCK_BASES
+    r = k_adj - b * BLOCK_BASES
+    words = fm.bwt_blocks[b]  # (..., 8)
+    base = jnp.take_along_axis(fm.occ_cp[b], codes[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    return base + _match_counts(words, codes, _pair_masks(r))
+
+
+def occ_all4(fm: DeviceFMIndex, k: jax.Array) -> jax.Array:
+    """occ$(c, k) for all four codes: (...,) -> (..., 4)."""
+    k_adj = (k - (k > fm.primary)).astype(jnp.int32)
+    b = k_adj // BLOCK_BASES
+    r = k_adj - b * BLOCK_BASES
+    words = fm.bwt_blocks[b]  # (..., 8)
+    masks = _pair_masks(r)
+    counts = [
+        _match_counts(words, jnp.full(k.shape, c, jnp.int32), masks) for c in range(4)
+    ]
+    return fm.occ_cp[b] + jnp.stack(counts, axis=-1)
+
+
+def backward_step(
+    fm: DeviceFMIndex, codes: jax.Array, lo: jax.Array, hi: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """One batched backward-search interval update (call stack SURVEY.md §3.2)."""
+    Cc = fm.C[codes.astype(jnp.int32)]
+    new_lo = Cc + occ_codes(fm, codes, lo)
+    new_hi = Cc + occ_codes(fm, codes, hi)
+    return new_lo, new_hi
+
+
+def bwt_char(fm: DeviceFMIndex, i: jax.Array) -> jax.Array:
+    """BWT code at sentinel-inclusive row(s) i (caller avoids the primary row)."""
+    idx = (i - (i > fm.primary)).astype(jnp.int32)
+    w = fm.bwt_blocks[idx // BLOCK_BASES, (idx % BLOCK_BASES) // 16]
+    return ((w >> (2 * (idx % 16)).astype(jnp.uint32)) & jnp.uint32(3)).astype(jnp.int32)
+
+
+def lf(fm: DeviceFMIndex, i: jax.Array) -> jax.Array:
+    c = bwt_char(fm, i)
+    return fm.C[c] + occ_codes(fm, c, i)
+
+
+def _mark_get(fm: DeviceFMIndex, i: jax.Array) -> jax.Array:
+    w = fm.mark_blocks[i // MARK_BLOCK_BITS, (i % MARK_BLOCK_BITS) // 32]
+    return ((w >> (i % 32).astype(jnp.uint32)) & jnp.uint32(1)).astype(jnp.bool_)
+
+
+def _mark_rank1(fm: DeviceFMIndex, i: jax.Array) -> jax.Array:
+    b = i // MARK_BLOCK_BITS
+    words = fm.mark_blocks[b]  # (..., 4)
+    rem = i - b * MARK_BLOCK_BITS
+    allowed = jnp.clip(
+        rem[..., None] - 32 * jnp.arange(MARK_WORDS_PER_BLOCK, dtype=i.dtype), 0, 32
+    ).astype(jnp.uint32)
+    safe = jnp.clip(32 - allowed, 0, 31).astype(jnp.uint32)
+    masks = jnp.where(allowed == 0, jnp.uint32(0), _FULL >> safe)
+    part = jnp.sum(jax.lax.population_count(words & masks).astype(jnp.int32), axis=-1)
+    return fm.mark_cp[b] + part
+
+
+def locate(fm: DeviceFMIndex, rows: jax.Array) -> jax.Array:
+    """Text positions of BWT rows via bounded LF walk (fixed trip count)."""
+
+    def body(_, state):
+        i, d = state
+        marked = _mark_get(fm, i)
+        nxt = lf(fm, i)
+        i = jnp.where(marked, i, nxt)
+        d = jnp.where(marked, d, d + 1)
+        return i, d
+
+    i0 = rows.astype(jnp.int32)
+    d0 = jnp.zeros_like(i0)
+    i, d = jax.lax.fori_loop(0, fm.sample_rate, body, (i0, d0))
+    return fm.ssa_values[_mark_rank1(fm, i)] + d
