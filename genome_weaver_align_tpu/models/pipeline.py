@@ -14,12 +14,13 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..index.files import GenomeIndex
+from ..ops import dp as dp_ops
 from ..ops import rank
 from ..ops.rank import DeviceFMIndex
-from ..utils import sam
+from ..utils import dna, sam
 from ..utils.fasta import Read
 from ..utils.simulate import reads_to_batch
-from . import exact
+from . import exact, suffix_filter
 
 
 @dataclass
@@ -93,3 +94,161 @@ class ExactAligner:
 
     def sam_header(self) -> str:
         return sam.header(self.gi.genome.names, self.gi.genome.lengths)
+
+
+@dataclass
+class ApproxHit:
+    pos: int  # global genome start of the alignment (exact, post-traceback)
+    strand: int
+    dist: int
+    cigar: str
+    n_good: int  # candidates within threshold across both strands
+    overflow: bool
+
+
+class SuffixFilterAligner:
+    """Acceptance configs 3-4: k-edit suffix-filter search + banded DP verify
+    + SAM emission (the flagship pipeline; SURVEY.md §3.3)."""
+
+    def __init__(
+        self,
+        gi: GenomeIndex,
+        k: int = 2,
+        max_hits_per_piece: int = 16,
+        use_staircase: bool = False,
+    ):
+        import jax.numpy as jnp
+
+        self.gi = gi
+        self.k = k
+        self.n_pieces = k + 1
+        self.max_hits = max_hits_per_piece
+        self.fm = rank.from_host(gi.fwd)
+        self.text_words = jnp.asarray(gi.fwd.text_words)
+        self.use_staircase = use_staircase
+        self._rev_fm = None
+        if use_staircase:
+            from . import bidirectional as bd
+
+            self.bi = bd.from_host_bi(gi.fwd, gi.rev)
+
+    def _strand_pass(self, search_reads, verify_reads, lengths):
+        """One strand: candidates -> verify -> per-read best (device)."""
+        import jax.numpy as jnp
+
+        L = search_reads.shape[1]
+        W = L + 3 * self.k
+        if self.use_staircase:
+            from . import staircase
+
+            cands = staircase.staircase_filter_candidates(
+                self.bi,
+                jnp.asarray(search_reads),
+                jnp.asarray(lengths),
+                self.k,
+                max_hits=self.max_hits,
+            )
+        else:
+            cands = suffix_filter.pigeonhole_candidates(
+                self.fm,
+                jnp.asarray(search_reads),
+                jnp.asarray(lengths),
+                self.n_pieces,
+                self.max_hits,
+            )
+        dist, _ = suffix_filter.verify_candidates(
+            self.text_words,
+            self.fm.n,
+            jnp.asarray(verify_reads),
+            jnp.asarray(lengths),
+            cands.cand_pos,
+            self.k,
+            W,
+        )
+        best = suffix_filter.best_hit(cands.cand_pos, dist, self.k)
+        return (
+            np.asarray(best.best_pos),
+            np.asarray(best.best_dist),
+            np.asarray(best.n_good),
+            np.asarray(cands.overflow),
+        )
+
+    def align_batch(self, reads: list[Read]) -> list[ApproxHit | None]:
+        lengths = np.array([len(r) for r in reads], dtype=np.int32)
+        verify_fwd = reads_to_batch_verify(reads)
+        search_fwd = np.where(verify_fwd >= 4, 0, verify_fwd).astype(np.int32)
+        verify_rc = revcomp_verify_batch(verify_fwd, lengths)
+        search_rc = np.where(verify_rc >= 4, 0, verify_rc).astype(np.int32)
+
+        res_f = self._strand_pass(search_fwd, verify_fwd, lengths)
+        res_r = self._strand_pass(search_rc, verify_rc, lengths)
+
+        out: list[ApproxHit | None] = []
+        for i in range(len(reads)):
+            pf, df, nf, of = (x[i] for x in res_f)
+            pr, dr, nr, orv = (x[i] for x in res_r)
+            n_good = int(nf) + int(nr)
+            ovf = bool(of) or bool(orv)
+            # deterministic: (dist, pos, strand)
+            choices = []
+            if df <= self.k:
+                choices.append((int(df), int(pf), 0))
+            if dr <= self.k:
+                choices.append((int(dr), int(pr), 1))
+            if not choices:
+                out.append(None)
+                continue
+            d, cand, strand = min(choices)
+            vcodes = verify_fwd[i] if strand == 0 else verify_rc[i]
+            l = int(lengths[i])
+            ws = cand - self.k
+            win = self.gi.fwd.extract(ws, l + 3 * self.k).astype(np.int64)
+            off = max(0, ws) - ws  # clipped leading bases
+            d2, start, _, cigar = dp_ops.traceback_semiglobal_host(
+                vcodes[:l].astype(np.int64), win
+            )
+            pos = max(0, ws) + start
+            out.append(ApproxHit(pos, strand, int(d2), cigar, n_good, ovf))
+        return out
+
+    def to_sam(self, reads: list[Read], hits) -> list[sam.SamRecord]:
+        recs = []
+        for r, h in zip(reads, hits):
+            if h is None:
+                recs.append(sam.unmapped(r.name, r.codes, r.qual))
+                continue
+            ci, local = self.gi.genome.coord(h.pos)
+            recs.append(
+                sam.mapped(
+                    r.name,
+                    r.codes,
+                    self.gi.genome.names[int(ci[0])],
+                    int(local[0]),
+                    h.strand,
+                    h.cigar,
+                    edit_distance=h.dist,
+                    mapq=37 if h.n_good == 1 else (3 if h.n_good > 1 else 0),
+                    qual=r.qual,
+                )
+            )
+        return recs
+
+    def sam_header(self) -> str:
+        return sam.header(self.gi.genome.names, self.gi.genome.lengths)
+
+
+def reads_to_batch_verify(reads: list[Read]) -> np.ndarray:
+    """(B, L) int32 with N kept as 4 (counts as an edit in verify)."""
+    L = max(len(r) for r in reads)
+    out = np.zeros((len(reads), L), dtype=np.int32)
+    for i, r in enumerate(reads):
+        out[i, : len(r)] = r.codes
+    return out
+
+
+def revcomp_verify_batch(batch: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    out = np.zeros_like(batch)
+    for i in range(batch.shape[0]):
+        l = int(lengths[i])
+        out[i, :l] = dna.revcomp(batch[i, :l].astype(np.uint8))
+    return out

@@ -1,0 +1,161 @@
+"""Approximate search: piece partitioning + candidate generation + DP verify
+(SURVEY.md §2 #10/#13, §3.3; acceptance configs 3-4).
+
+Method (reference `SuffixFilter`, Kärkkäinen-Na suffix filters): split each
+read into ``k+1`` pieces; any alignment with <= k edits leaves at least one
+piece exact (pigeonhole), so exact piece occurrences are a complete candidate
+generator.  Candidates are verified by the banded wavefront DP
+(``ops.dp.banded_edit_distance``).  The staircase bidirectional extension
+(which prunes candidates of repetitive pieces before locate) is layered on
+top in ``staircase_filter_candidates``.
+
+TPU shape: pieces are searched as extra lockstep lanes of the batched
+backward search; candidate loci are dense (B, C) tensors; dedup is a sort +
+neighbour-mask; verify runs all (B*C) lanes through the wavefront DP at once.
+Repeat overflow (piece interval wider than the locate cap) is flagged per
+read, never silently dropped.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import dp as dp_ops
+from ..ops import rank, window
+from ..ops.rank import DeviceFMIndex
+
+
+class CandidateResult(NamedTuple):
+    cand_pos: jax.Array  # (B, C) int32, sorted; NO_CAND where invalid
+    n_cands: jax.Array  # (B,)
+    overflow: jax.Array  # (B,) bool — some piece interval exceeded the cap
+
+
+NO_CAND = jnp.int32(2**30)
+
+
+def _piece_bounds(lengths: jax.Array, n_pieces: int):
+    """Equal-split piece boundaries [s_i, e_i) per read (reference's split
+    scheduling: floor(i*len/p))."""
+    i = jnp.arange(n_pieces + 1, dtype=jnp.int32)[None, :]
+    return (lengths[:, None] * i) // n_pieces  # (B, n_pieces+1)
+
+
+@partial(jax.jit, static_argnames=("n_pieces", "max_len"))
+def piece_interval_search(
+    fm: DeviceFMIndex,
+    reads: jax.Array,  # (B, L) int32
+    lengths: jax.Array,
+    n_pieces: int,
+    max_len: int | None = None,
+):
+    """Exact backward search of every piece: (B, P) SA intervals."""
+    B, L = reads.shape
+    bounds = _piece_bounds(lengths, n_pieces)
+    s, e = bounds[:, :-1], bounds[:, 1:]  # (B, P)
+    steps = (L + n_pieces - 1) // n_pieces + 1 if max_len is None else max_len
+
+    def body(t, state):
+        lo, hi = state
+        j = e - 1 - t  # (B, P)
+        active = (j >= s) & (lo < hi)
+        c = jnp.take_along_axis(reads, jnp.clip(j, 0), axis=1)
+        nlo, nhi = rank.backward_step(fm, c, lo, hi)
+        return jnp.where(active, nlo, lo), jnp.where(active, nhi, hi)
+
+    lo0 = jnp.zeros((B, n_pieces), jnp.int32)
+    hi0 = jnp.full((B, n_pieces), fm.n + 1, jnp.int32)
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo0, hi0))
+    return lo, hi, s
+
+
+@partial(jax.jit, static_argnames=("n_pieces", "max_hits"))
+def pigeonhole_candidates(
+    fm: DeviceFMIndex,
+    reads: jax.Array,
+    lengths: jax.Array,
+    n_pieces: int,
+    max_hits: int = 16,
+) -> CandidateResult:
+    """Candidate loci from exact piece matches, deduped and sorted."""
+    B, L = reads.shape
+    lo, hi, s = piece_interval_search(fm, reads, lengths, n_pieces)
+    width = hi - lo
+    overflow = jnp.any(width > max_hits, axis=1)
+
+    rows = lo[:, :, None] + jnp.arange(max_hits, dtype=jnp.int32)[None, None, :]
+    valid = rows < hi[:, :, None]
+    pos = rank.locate(fm, jnp.clip(rows, 0, fm.n).reshape(-1)).reshape(rows.shape)
+    cand = pos - s[:, :, None]  # candidate read-start locus
+    cand = jnp.where(valid, cand, NO_CAND)
+    cand = cand.reshape(B, n_pieces * max_hits)
+
+    cand = jnp.sort(cand, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1
+    )
+    cand = jnp.where(dup, NO_CAND, cand)
+    cand = jnp.sort(cand, axis=1)
+    n = jnp.sum((cand != NO_CAND).astype(jnp.int32), axis=1)
+    return CandidateResult(cand, n, overflow)
+
+
+class VerifyResult(NamedTuple):
+    best_pos: jax.Array  # (B,) int32 window-adjusted best locus (cand estimate)
+    best_dist: jax.Array  # (B,) int32 (INF if none within threshold)
+    best_cand: jax.Array  # (B,) int32 index into cand axis
+    n_good: jax.Array  # (B,) candidates within threshold
+
+
+@partial(jax.jit, static_argnames=("k", "window_width"))
+def verify_candidates(
+    fm_text_words: jax.Array,
+    n_text,
+    reads: jax.Array,  # (B, L) int32 — verify codes (N = 4)
+    lengths: jax.Array,
+    cand_pos: jax.Array,  # (B, C)
+    k: int,
+    window_width: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Banded edit distance for every candidate: (B, C) dists (INF invalid)."""
+    B, C = cand_pos.shape
+    L = reads.shape[1]
+    ws = cand_pos - k
+    invalid = cand_pos == NO_CAND
+    wins = window.gather_windows(
+        fm_text_words, n_text, jnp.where(invalid, 0, ws).reshape(-1), window_width
+    )
+    r = jnp.repeat(reads, C, axis=0)
+    ln = jnp.repeat(lengths, C)
+    dist, end_b = dp_ops.banded_edit_distance(r, ln, wins, k)
+    dist = dist.reshape(B, C)
+    dist = jnp.where(invalid, dp_ops.INF, dist)
+    return dist, end_b.reshape(B, C)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def best_hit(cand_pos: jax.Array, dist: jax.Array, k: int) -> VerifyResult:
+    """Deterministic best: min (dist, pos); only dist <= k counts.
+
+    ``cand_pos`` rows are sorted ascending (pigeonhole_candidates), so
+    argmin's first-match tie-break picks the smallest position among equal
+    distances — device-count-independent ordering for bit-identical SAM.
+    """
+    good = dist <= k
+    key = jnp.where(good, dist, dp_ops.INF)
+    bi = jnp.argmin(key, axis=1).astype(jnp.int32)
+    bb = jnp.take_along_axis(dist, bi[:, None], axis=1)[:, 0]
+    bp = jnp.take_along_axis(cand_pos, bi[:, None], axis=1)[:, 0]
+    n_good = jnp.sum(good.astype(jnp.int32), axis=1)
+    has = n_good > 0
+    return VerifyResult(
+        jnp.where(has, bp, -1),
+        jnp.where(has, bb, dp_ops.INF),
+        bi,
+        n_good,
+    )

@@ -1,0 +1,95 @@
+"""Approximate alignment end-to-end (configs 3-4 shape): planted subs and
+indels must map back to true loci with correct edit distance and CIGAR."""
+
+import re
+
+import numpy as np
+import pytest
+
+from genome_weaver_align_tpu.index.files import Genome, build_genome_index
+from genome_weaver_align_tpu.models.pipeline import SuffixFilterAligner
+from genome_weaver_align_tpu.utils import simulate
+from genome_weaver_align_tpu.utils.fasta import Contig
+
+
+@pytest.fixture(scope="module")
+def gi():
+    rng = np.random.default_rng(17)
+    genome = Genome.from_contigs(
+        [Contig("chrT", rng.integers(0, 4, size=60000, dtype=np.uint8))]
+    )
+    return build_genome_index(genome, sample_rate=16)
+
+
+def cigar_len(cigar, ops="MI"):
+    return sum(int(c) for c, op in re.findall(r"(\d+)([MIDSH])", cigar) if op in ops)
+
+
+def test_substitutions_k2(gi):
+    sims = simulate.simulate_reads(
+        gi.genome.codes, n_reads=60, read_len=100, seed=5, sub_rate=0.02, max_subs=2
+    )
+    al = SuffixFilterAligner(gi, k=2)
+    reads = [s.read for s in sims]
+    hits = al.align_batch(reads)
+    for s, h in zip(sims, hits):
+        assert h is not None, s.read.name
+        assert h.dist <= s.n_sub
+        if h.n_good == 1:
+            assert h.pos == s.true_pos and h.strand == s.true_strand, s.read.name
+        assert cigar_len(h.cigar, "MI") == 100
+
+
+def test_indels_k4(gi):
+    sims = simulate.simulate_reads(
+        gi.genome.codes,
+        n_reads=60,
+        read_len=150,
+        seed=6,
+        sub_rate=0.01,
+        max_subs=2,
+        indel_rate=0.01,
+        max_indels=2,
+    )
+    al = SuffixFilterAligner(gi, k=4)
+    reads = [s.read for s in sims]
+    hits = al.align_batch(reads)
+    n_exact_locus = 0
+    for s, h in zip(sims, hits):
+        total_edits = s.n_sub + s.n_ins + s.n_del
+        assert h is not None, s.read.name
+        assert h.dist <= total_edits, (s.read.name, h.dist, total_edits)
+        assert cigar_len(h.cigar, "MI") == 150
+        # reference-consumed length = 150 - ins + del of the chosen alignment
+        if h.pos == s.true_pos and h.strand == s.true_strand:
+            n_exact_locus += 1
+    assert n_exact_locus >= 50  # indel placement can legitimately shift a locus
+
+
+def test_sam_output(gi, tmp_path):
+    sims = simulate.simulate_reads(
+        gi.genome.codes, n_reads=20, read_len=100, seed=8, sub_rate=0.02, max_subs=2
+    )
+    al = SuffixFilterAligner(gi, k=2)
+    reads = [s.read for s in sims]
+    hits = al.align_batch(reads)
+    recs = al.to_sam(reads, hits)
+    assert len(recs) == 20
+    for rec in recs:
+        line = rec.line()
+        fields = line.split("\t")
+        assert len(fields) >= 11
+        if not (rec.flag & 0x4):
+            assert re.fullmatch(r"(\d+[MID])+", fields[5])
+            nm = [f for f in fields[11:] if f.startswith("NM:i:")]
+            assert nm and int(nm[0][5:]) == int(rec.tags[0][2])
+
+
+def test_unmappable_read(gi):
+    rng = np.random.default_rng(44)
+    from genome_weaver_align_tpu.utils.fasta import Read
+
+    r = Read("junk", rng.integers(0, 4, size=100, dtype=np.uint8))
+    al = SuffixFilterAligner(gi, k=2)
+    hits = al.align_batch([r])
+    assert hits[0] is None
