@@ -1,0 +1,162 @@
+"""Staircase suffix-filter search (SURVEY.md §2 #10; reference `SuffixFilter`,
+Kärkkäinen–Na suffix filters).
+
+For each piece i of the k+1 partition, match the read *suffix* starting at
+piece i: piece i exactly (backward-built bidirectional spine), then forward
+through pieces i+1..k under the staircase budget — cumulative mismatches
+within pieces i..m must stay <= m - i.  Every locus with <= k substitutions
+passes at least one piece's staircase (suffix-filter theorem), so this is a
+complete *filter* for substitution-k matching with far fewer false
+candidates than plain pigeonhole (piece-only) matching.  Indel-containing
+alignments are NOT guaranteed to pass (a frame shift breaks the Hamming
+suffix): edit-distance configs use ``pigeonhole_candidates`` for
+completeness; the reference made the same split (bit-parallel mismatch NFA
+in search, indels scored in the DP verify stage).
+
+TPU shape (P4): the reference's priority queue of `SearchState`s becomes a
+dense (B, S) pool of (bidirectional interval, mismatch-count) lanes; each
+step expands every lane into its 4 children with ONE `extend_forward_all4`
+(two occ_all4 gathers), masks children by the staircase budget, and compacts
+the 4S pool back to S slots by liveness.  Overflow is flagged per read.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import bidirectional as bd
+from .bidirectional import BiInterval, DeviceBiIndex
+from .suffix_filter import NO_CAND, CandidateResult, _piece_bounds
+from ..ops import rank
+
+
+class Pool(NamedTuple):
+    iv: BiInterval  # (B, S) synchronized intervals
+    mm: jax.Array  # (B, S) int32 mismatch counts
+    overflow: jax.Array  # (B,) bool
+
+
+def _compact_pool(iv: BiInterval, mm, n_slots: int):
+    """Keep the first n_slots live lanes (stable), count total live."""
+    alive = iv.hi > iv.lo
+    order = jnp.argsort(jnp.logical_not(alive).astype(jnp.int32), axis=1, stable=True)
+    take = order[:, :n_slots]
+    packed = BiInterval(*[jnp.take_along_axis(f, take, axis=1) for f in iv])
+    mm_p = jnp.take_along_axis(mm, take, axis=1)
+    live = jnp.sum(alive.astype(jnp.int32), axis=1)
+    # zero out slots beyond the live count (stale values after packing)
+    slot = jnp.arange(n_slots, dtype=jnp.int32)[None, :]
+    dead = slot >= jnp.minimum(live, n_slots)[:, None]
+    packed = BiInterval(
+        jnp.where(dead, 0, packed.lo),
+        jnp.where(dead, 0, packed.hi),
+        jnp.where(dead, 0, packed.rlo),
+        jnp.where(dead, 0, packed.rhi),
+    )
+    return packed, jnp.where(dead, 0, mm_p), live
+
+
+@partial(jax.jit, static_argnames=("k", "n_slots", "hits_per_state", "keep", "max_len"))
+def staircase_filter_candidates(
+    bi: DeviceBiIndex,
+    reads: jax.Array,  # (B, L) int32
+    lengths: jax.Array,
+    k: int,
+    n_slots: int = 64,
+    hits_per_state: int = 4,
+    keep: int = 8,
+    max_hits: int | None = None,  # accepted for API parity; unused
+    max_len: int | None = None,
+) -> CandidateResult:
+    B, L = reads.shape
+    steps = L if max_len is None else max_len
+    P = k + 1
+    bounds = _piece_bounds(lengths, P)  # (B, P+1)
+    n = bi.fwd.n
+
+    def char_at(j):
+        return jnp.take_along_axis(reads, jnp.clip(j, 0)[:, None], axis=1)[:, 0]
+
+    def piece_of(j):  # (B,) index of piece containing j
+        return (
+            jnp.sum((bounds <= j[:, None]).astype(jnp.int32), axis=1) - 1
+        )
+
+    all_pos = []
+    overflow = jnp.zeros(B, bool)
+
+    for i in range(P):
+        s_i, e_i = bounds[:, i], bounds[:, i + 1]
+
+        # spine: piece i built backward (bidirectional state)
+        def spine_body(t, st):
+            j = e_i - 1 - t
+            active = j >= s_i
+            ext = bd.extend_backward(bi, st, char_at(j))
+            return BiInterval(*[jnp.where(active, a, b) for a, b in zip(ext, st)])
+
+        spine = jax.lax.fori_loop(0, steps, spine_body, bd.init_interval(n, (B,)))
+
+        # pool init: slot 0 = spine, mm 0
+        slot0 = jnp.arange(n_slots, dtype=jnp.int32)[None, :] == 0
+        iv = BiInterval(
+            *[jnp.where(slot0, f[:, None], 0) for f in spine]
+        )
+        mm = jnp.zeros((B, n_slots), jnp.int32)
+
+        def fwd_body(t, carry):
+            iv, mm, ovf = carry
+            j = e_i + t  # (B,)
+            active = j < lengths
+            c = char_at(j)
+            budget = piece_of(jnp.minimum(j, lengths - 1)) - i  # (B,)
+            all4 = bd.extend_forward_all4(bi, iv)  # fields (B, S, 4)
+            codes = jnp.arange(4, dtype=jnp.int32)[None, None, :]
+            child_mm = mm[:, :, None] + (codes != c[:, None, None]).astype(jnp.int32)
+            ok = child_mm <= budget[:, None, None]
+            child_lo = jnp.where(ok, all4.lo, 0)
+            child_hi = jnp.where(ok, all4.hi, 0)
+            pool_iv = BiInterval(
+                child_lo.reshape(B, -1),
+                child_hi.reshape(B, -1),
+                all4.rlo.reshape(B, -1),
+                all4.rhi.reshape(B, -1),
+            )
+            pool_mm = child_mm.reshape(B, -1)
+            new_iv, new_mm, live = _compact_pool(pool_iv, pool_mm, n_slots)
+            ovf = ovf | (active & (live > n_slots))
+            out_iv = BiInterval(
+                *[jnp.where(active[:, None], a, b) for a, b in zip(new_iv, iv)]
+            )
+            out_mm = jnp.where(active[:, None], new_mm, mm)
+            return out_iv, out_mm, ovf
+
+        iv, mm, overflow = jax.lax.fori_loop(
+            0, steps, fwd_body, (iv, mm, overflow)
+        )
+
+        # final states: compact to the keep-window before the (costly) locate
+        iv, mm, live_final = _compact_pool(iv, mm, keep)
+        overflow = overflow | (live_final > keep)
+
+        # -> candidate loci (read start = occ - s_i)
+        rows = iv.lo[:, :, None] + jnp.arange(hits_per_state, dtype=jnp.int32)[None, None, :]
+        valid = rows < iv.hi[:, :, None]
+        pos = rank.locate(bi.fwd, jnp.clip(rows, 0, n).reshape(-1)).reshape(rows.shape)
+        cand = jnp.where(valid, pos - s_i[:, None, None], NO_CAND)
+        # flag dropped occurrences of wide final intervals
+        overflow = overflow | jnp.any(
+            (iv.hi - iv.lo) > hits_per_state, axis=1
+        )
+        all_pos.append(cand.reshape(B, -1))
+
+    cand = jnp.concatenate(all_pos, axis=1)
+    cand = jnp.sort(cand, axis=1)
+    dup = jnp.concatenate([jnp.zeros((B, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1)
+    cand = jnp.sort(jnp.where(dup, NO_CAND, cand), axis=1)
+    n_c = jnp.sum((cand != NO_CAND).astype(jnp.int32), axis=1)
+    return CandidateResult(cand, n_c, overflow)
