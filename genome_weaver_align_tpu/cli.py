@@ -1,0 +1,166 @@
+"""Command-line interface (SURVEY.md §2 #16; reference `GenomeWeaver` main).
+
+Subcommand verbs mirror the reference (`BWTransform` -> ``index``,
+`BWAlign`/`SuffixFilter` align -> ``align``), plus ``simulate`` for synthetic
+data and ``dump`` debug helpers.
+
+    python -m genome_weaver_align_tpu index genome.fa -o genome.gwa.npz
+    python -m genome_weaver_align_tpu align genome.gwa.npz reads.fq -k 2 -o out.sam
+    python -m genome_weaver_align_tpu simulate genome.fa -n 1000 -l 100 -o reads.fq
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _cmd_index(args) -> int:
+    from .index.files import Genome, build_genome_index, save_index
+    from .utils.fasta import read_fasta
+    from .utils.log import StopWatch
+
+    sw = StopWatch()
+    contigs = read_fasta(args.genome)
+    genome = Genome.from_contigs(contigs)
+    sw.lap(f"loaded {len(contigs)} contig(s), {genome.n} bp")
+    gi = build_genome_index(genome, sample_rate=args.sample_rate)
+    sw.lap("built forward+reverse FM indexes")
+    save_index(args.out, gi)
+    sw.lap(f"saved {args.out}")
+    return 0
+
+
+def _cmd_align(args) -> int:
+    from .index.files import load_index
+    from .models.pipeline import ExactAligner, SuffixFilterAligner
+    from .utils.fasta import iter_reads
+    from .utils.log import StopWatch
+    from .utils.sam import write_sam
+
+    sw = StopWatch()
+    gi = load_index(args.index)
+    sw.lap(f"loaded index ({gi.genome.n} bp)")
+
+    mode = args.mode
+    if mode == "auto":
+        mode = "exact" if args.k == 0 else "pigeonhole"
+    if mode == "exact":
+        aligner = ExactAligner(gi)
+    else:
+        aligner = SuffixFilterAligner(
+            gi,
+            k=args.k,
+            max_hits_per_piece=args.max_hits_per_piece,
+            use_staircase=(mode == "staircase"),
+        )
+
+    reads = list(iter_reads(args.reads))
+    sw.lap(f"loaded {len(reads)} reads")
+    records = []
+    n_mapped = 0
+    t0 = time.time()
+    for i in range(0, len(reads), args.batch_size):
+        batch = reads[i : i + args.batch_size]
+        hits = aligner.align_batch(batch)
+        records.extend(aligner.to_sam(batch, hits))
+        n_mapped += sum(h is not None for h in hits)
+    dt = time.time() - t0
+    sw.lap(f"aligned: {n_mapped}/{len(reads)} mapped, {len(reads)/max(dt,1e-9):.0f} reads/s")
+
+    hdr = aligner.sam_header()
+    if args.out == "-":
+        sys.stdout.write(hdr + "\n")
+        for r in records:
+            sys.stdout.write(r.line() + "\n")
+    else:
+        write_sam(args.out, hdr, records)
+        sw.lap(f"wrote {args.out}")
+    return 0
+
+
+def _cmd_simulate(args) -> int:
+    from .index.files import Genome
+    from .utils.fasta import read_fasta, write_fastq
+    from .utils.simulate import simulate_reads
+
+    genome = Genome.from_contigs(read_fasta(args.genome))
+    sims = simulate_reads(
+        genome.codes,
+        n_reads=args.n,
+        read_len=args.length,
+        seed=args.seed,
+        sub_rate=args.sub_rate,
+        max_subs=args.max_subs,
+        indel_rate=args.indel_rate,
+        max_indels=args.max_indels,
+    )
+    write_fastq(args.out, [s.read for s in sims])
+    print(f"wrote {len(sims)} reads to {args.out}")
+    return 0
+
+
+def _cmd_dump(args) -> int:
+    from .index.files import load_index
+
+    gi = load_index(args.index)
+    print(f"n={gi.fwd.n} primary={gi.fwd.primary} sample_rate={gi.fwd.sample_rate}")
+    print(f"contigs: {list(zip(gi.genome.names, gi.genome.lengths))}")
+    print(f"counts A/C/G/T: {gi.fwd.counts.tolist()}  C[]: {gi.fwd.C.tolist()}")
+    nbytes = sum(
+        a.nbytes
+        for a in (gi.fwd.bwt_words, gi.fwd.occ_cp, gi.fwd.ssa_values, gi.fwd.text_words)
+    )
+    print(f"fwd index tables ~{nbytes/1e6:.1f} MB host-side")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="gwa-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="build FM index from FASTA (reference: BWTransform)")
+    pi.add_argument("genome")
+    pi.add_argument("-o", "--out", required=True)
+    pi.add_argument("--sample-rate", type=int, default=32)
+    pi.set_defaults(fn=_cmd_index)
+
+    pa = sub.add_parser("align", help="align reads to an index")
+    pa.add_argument("index")
+    pa.add_argument("reads")
+    pa.add_argument("-o", "--out", default="-")
+    pa.add_argument("-k", type=int, default=2, help="max edit distance")
+    pa.add_argument(
+        "--mode",
+        choices=["auto", "exact", "pigeonhole", "staircase"],
+        default="auto",
+    )
+    pa.add_argument("--batch-size", type=int, default=4096)
+    pa.add_argument("--max-hits-per-piece", type=int, default=16)
+    pa.set_defaults(fn=_cmd_align)
+
+    ps = sub.add_parser("simulate", help="simulate reads from a genome")
+    ps.add_argument("genome")
+    ps.add_argument("-o", "--out", required=True)
+    ps.add_argument("-n", type=int, default=1000)
+    ps.add_argument("-l", "--length", type=int, default=100)
+    ps.add_argument("--seed", type=int, default=1)
+    ps.add_argument("--sub-rate", type=float, default=0.0)
+    ps.add_argument("--max-subs", type=int, default=None)
+    ps.add_argument("--indel-rate", type=float, default=0.0)
+    ps.add_argument("--max-indels", type=int, default=0)
+    ps.set_defaults(fn=_cmd_simulate)
+
+    pd = sub.add_parser("dump", help="print index metadata")
+    pd.add_argument("index")
+    pd.set_defaults(fn=_cmd_dump)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
