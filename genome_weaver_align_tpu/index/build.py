@@ -138,7 +138,9 @@ def build_fm_index(
     codes = np.asarray(codes, dtype=np.uint8)
     n = codes.size
     if sa is None:
-        sa = suffix_array(codes)
+        from .native import suffix_array_best
+
+        sa = suffix_array_best(codes)
     sa = np.asarray(sa, dtype=np.int64)
     assert sa.size == n + 1 and sa[0] == n
     primary = int(np.nonzero(sa == 0)[0][0])

@@ -1,0 +1,106 @@
+"""ctypes binding to the native C++ SA-IS builder (native/sais.cpp).
+
+Builds the shared library on first use (g++ is baked into the image; no
+pybind11, per environment constraints).  Falls back cleanly: callers use
+:func:`available` and drop to the NumPy prefix-doubling builder otherwise.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libgwa_native.so"
+_lib = None
+_build_failed = False
+
+
+def _load():
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    try:
+        if not _LIB_PATH.exists() or (
+            _LIB_PATH.stat().st_mtime < (_NATIVE_DIR / "sais.cpp").stat().st_mtime
+        ):
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True
+            )
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.gwa_sais_u8.restype = ctypes.c_int
+        lib.gwa_sais_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+        ]
+        lib.gwa_bwt_u8.restype = ctypes.c_int
+        lib.gwa_bwt_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+    except Exception:
+        _build_failed = True
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def suffix_array_native(codes: np.ndarray) -> np.ndarray:
+    """SA of codes+$ via C++ SA-IS; int64 result for API parity."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native SA-IS unavailable (build failed)")
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    m = codes.size
+    sa = np.empty(m + 1, dtype=np.int32)
+    rc = lib.gwa_sais_u8(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(m),
+    )
+    if rc != 0:
+        raise RuntimeError(f"gwa_sais_u8 failed rc={rc}")
+    return sa.astype(np.int64)
+
+
+def bwt_native(codes: np.ndarray, sa32: np.ndarray) -> tuple[np.ndarray, int]:
+    """(bwt codes with $ row dropped, primary row index)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native unavailable")
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    sa32 = np.ascontiguousarray(sa32, dtype=np.int32)
+    m = codes.size
+    bwt = np.empty(m, dtype=np.uint8)
+    primary = ctypes.c_int64(-1)
+    rc = lib.gwa_bwt_u8(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sa32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        bwt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(m),
+        ctypes.byref(primary),
+    )
+    if rc != 0:
+        raise RuntimeError(f"gwa_bwt_u8 failed rc={rc}")
+    return bwt, int(primary.value)
+
+
+def suffix_array_best(codes: np.ndarray) -> np.ndarray:
+    """Native SA-IS when available, NumPy prefix doubling otherwise."""
+    if available() and codes.size + 1 <= np.iinfo(np.int32).max:
+        return suffix_array_native(codes)
+    from .sais import suffix_array
+
+    return suffix_array(codes)
