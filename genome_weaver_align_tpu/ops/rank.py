@@ -2,14 +2,22 @@
 
 This is the hot lookup of the whole aligner (reference
 `OccurrenceCountTable.occ` — the checkpoint + popcount scan), rebuilt as
-batched JAX ops: every query is one (8-word gather + XOR/popcount reduce),
-vectorised over a read-cohort axis.  Bit layout matches ``utils.packing`` and
-``index.build`` exactly; tests assert bit-identical results vs. the NumPy
-oracle.
+batched JAX ops: every query is ONE fused-row gather + XOR/popcount reduce,
+vectorised over a read-cohort axis.
+
+HBM layout (the TPU-native design point, SURVEY.md §7): BWT words and their
+occurrence checkpoint are *interleaved* into one 48-byte row per 128-base
+block —
+
+    row b (12 x uint32): [ 8 bwt words | occ_cp[b, A..T] bitcast ]
+
+so occ(c, k) costs a single aligned row gather; the partial count is an
+in-register XOR/popcount over the 8 words.  Bit layout matches
+``utils.packing``/``index.build``; tests assert bit-identical results vs.
+the NumPy oracle.
 
 All device indices are int32 (single index <= 2^31-1 elements, see
-``utils.larray``); words are uint32 with 16 bases each; occurrence
-checkpoints every ``BLOCK_BASES`` = 128 bases (8 words).
+``utils.larray``); words are uint32 with 16 bases each.
 """
 
 from __future__ import annotations
@@ -26,6 +34,8 @@ from ..index.build import BLOCK_BASES, WORDS_PER_BLOCK, FMIndexData
 _PAIR = jnp.uint32(0x55555555)
 _FULL = jnp.uint32(0xFFFFFFFF)
 
+FUSED_WIDTH = WORDS_PER_BLOCK + 4  # 8 bwt words + 4 checkpoint lanes
+
 MARK_BLOCK_BITS = 128
 MARK_WORDS_PER_BLOCK = MARK_BLOCK_BITS // 32
 
@@ -35,8 +45,7 @@ MARK_WORDS_PER_BLOCK = MARK_BLOCK_BITS // 32
 class DeviceFMIndex:
     """HBM-resident FM-index tables (one strand direction)."""
 
-    bwt_blocks: jax.Array  # (nb+1, 8) uint32 — packed BWT, block-major
-    occ_cp: jax.Array  # (nb+1, 4) int32 — occ_packed at block starts
+    blocks: jax.Array  # (nb+1, 12) uint32 fused rows (see module docstring)
     C: jax.Array  # (5,) int32
     primary: jax.Array  # () int32 — row of $ in sentinel-inclusive BWT
     mark_blocks: jax.Array  # (mb, 4) uint32 — sparse-SA row marks
@@ -46,14 +55,22 @@ class DeviceFMIndex:
     sample_rate: int = dataclasses.field(metadata=dict(static=True))
 
 
+def fuse_blocks(bwt_words: np.ndarray, occ_cp: np.ndarray) -> np.ndarray:
+    """Host-side interleave: (nb+1, 8) words + (nb+1, 4) cp -> (nb+1, 12)."""
+    nb = occ_cp.shape[0]
+    words = bwt_words.reshape(nb, WORDS_PER_BLOCK)
+    fused = np.empty((nb, FUSED_WIDTH), dtype=np.uint32)
+    fused[:, :WORDS_PER_BLOCK] = words
+    fused[:, WORDS_PER_BLOCK:] = occ_cp.astype(np.int32).view(np.uint32)
+    return fused
+
+
 def from_host(fm: FMIndexData) -> DeviceFMIndex:
-    nb_total = fm.bwt_words.size // WORDS_PER_BLOCK
     marks = fm.ssa_marks
     mw = marks._wpad
     mb = mw.size // MARK_WORDS_PER_BLOCK
     return DeviceFMIndex(
-        bwt_blocks=jnp.asarray(fm.bwt_words.reshape(nb_total, WORDS_PER_BLOCK)),
-        occ_cp=jnp.asarray(fm.occ_cp.astype(np.int32)),
+        blocks=jnp.asarray(fuse_blocks(fm.bwt_words, fm.occ_cp)),
         C=jnp.asarray(fm.C.astype(np.int32)),
         primary=jnp.asarray(np.int32(fm.primary)),
         mark_blocks=jnp.asarray(mw.reshape(mb, MARK_WORDS_PER_BLOCK)),
@@ -72,7 +89,7 @@ def _pair_masks(r: jax.Array) -> jax.Array:
     selecting on the zero case.
     """
     allowed = jnp.clip(
-        r[..., None] - BLOCK_BASES // WORDS_PER_BLOCK * jnp.arange(WORDS_PER_BLOCK, dtype=r.dtype),
+        r[..., None] - 16 * jnp.arange(WORDS_PER_BLOCK, dtype=r.dtype),
         0,
         16,
     ).astype(jnp.uint32)
@@ -88,49 +105,75 @@ def _match_counts(words: jax.Array, code: jax.Array, pair_masks: jax.Array) -> j
     return jnp.sum(jax.lax.population_count(mm).astype(jnp.int32), axis=-1)
 
 
-def occ_codes(fm: DeviceFMIndex, codes: jax.Array, k: jax.Array) -> jax.Array:
-    """occ$(codes[i], k[i]) for each lane i — sentinel-inclusive coordinates."""
+def _row_split(fm: DeviceFMIndex, k: jax.Array):
+    """Fused-row fetch for sentinel-inclusive coordinates k."""
     k_adj = (k - (k > fm.primary)).astype(jnp.int32)
     b = k_adj // BLOCK_BASES
     r = k_adj - b * BLOCK_BASES
-    words = fm.bwt_blocks[b]  # (..., 8)
-    base = jnp.take_along_axis(fm.occ_cp[b], codes[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    row = fm.blocks[b]  # (..., 12) — ONE gather
+    words = row[..., :WORDS_PER_BLOCK]
+    cp = jax.lax.bitcast_convert_type(row[..., WORDS_PER_BLOCK:], jnp.int32)
+    return words, cp, r
+
+
+def occ_codes(fm: DeviceFMIndex, codes: jax.Array, k: jax.Array) -> jax.Array:
+    """occ$(codes[i], k[i]) for each lane i — sentinel-inclusive coordinates."""
+    words, cp, r = _row_split(fm, k)
+    base = jnp.take_along_axis(cp, codes[..., None].astype(jnp.int32), axis=-1)[..., 0]
     return base + _match_counts(words, codes, _pair_masks(r))
 
 
 def occ_all4(fm: DeviceFMIndex, k: jax.Array) -> jax.Array:
     """occ$(c, k) for all four codes: (...,) -> (..., 4)."""
-    k_adj = (k - (k > fm.primary)).astype(jnp.int32)
-    b = k_adj // BLOCK_BASES
-    r = k_adj - b * BLOCK_BASES
-    words = fm.bwt_blocks[b]  # (..., 8)
+    words, cp, r = _row_split(fm, k)
     masks = _pair_masks(r)
     counts = [
         _match_counts(words, jnp.full(k.shape, c, jnp.int32), masks) for c in range(4)
     ]
-    return fm.occ_cp[b] + jnp.stack(counts, axis=-1)
+    return cp + jnp.stack(counts, axis=-1)
 
 
 def backward_step(
     fm: DeviceFMIndex, codes: jax.Array, lo: jax.Array, hi: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
-    """One batched backward-search interval update (call stack SURVEY.md §3.2)."""
+    """One batched backward-search interval update (call stack SURVEY.md §3.2).
+
+    lo and hi are fetched in a single stacked gather (wider gathers amortise
+    the TPU's per-row gather cost better than two half-size gathers)."""
+    both = occ_codes(
+        fm,
+        jnp.concatenate([codes, codes], axis=0),
+        jnp.concatenate([lo, hi], axis=0),
+    )
+    occ_lo, occ_hi = jnp.split(both, 2, axis=0)
     Cc = fm.C[codes.astype(jnp.int32)]
-    new_lo = Cc + occ_codes(fm, codes, lo)
-    new_hi = Cc + occ_codes(fm, codes, hi)
-    return new_lo, new_hi
+    return Cc + occ_lo, Cc + occ_hi
 
 
 def bwt_char(fm: DeviceFMIndex, i: jax.Array) -> jax.Array:
     """BWT code at sentinel-inclusive row(s) i (caller avoids the primary row)."""
     idx = (i - (i > fm.primary)).astype(jnp.int32)
-    w = fm.bwt_blocks[idx // BLOCK_BASES, (idx % BLOCK_BASES) // 16]
+    w = fm.blocks[idx // BLOCK_BASES, (idx % BLOCK_BASES) // 16]
     return ((w >> (2 * (idx % 16)).astype(jnp.uint32)) & jnp.uint32(3)).astype(jnp.int32)
 
 
 def lf(fm: DeviceFMIndex, i: jax.Array) -> jax.Array:
     c = bwt_char(fm, i)
     return fm.C[c] + occ_codes(fm, c, i)
+
+
+def lf_fused(fm: DeviceFMIndex, i: jax.Array) -> jax.Array:
+    """LF with a single row gather: char and occ from the same fused row."""
+    k_adj = (i - (i > fm.primary)).astype(jnp.int32)
+    b = k_adj // BLOCK_BASES
+    r = k_adj - b * BLOCK_BASES
+    row = fm.blocks[b]
+    words = row[..., :WORDS_PER_BLOCK]
+    cp = jax.lax.bitcast_convert_type(row[..., WORDS_PER_BLOCK:], jnp.int32)
+    w = jnp.take_along_axis(words, (r // 16)[..., None], axis=-1)[..., 0]
+    c = ((w >> (2 * (r % 16)).astype(jnp.uint32)) & jnp.uint32(3)).astype(jnp.int32)
+    base = jnp.take_along_axis(cp, c[..., None], axis=-1)[..., 0]
+    return fm.C[c] + base + _match_counts(words, c, _pair_masks(r))
 
 
 def _mark_get(fm: DeviceFMIndex, i: jax.Array) -> jax.Array:
@@ -157,7 +200,7 @@ def locate(fm: DeviceFMIndex, rows: jax.Array) -> jax.Array:
     def body(_, state):
         i, d = state
         marked = _mark_get(fm, i)
-        nxt = lf(fm, i)
+        nxt = lf_fused(fm, i)
         i = jnp.where(marked, i, nxt)
         d = jnp.where(marked, d, d + 1)
         return i, d
