@@ -107,7 +107,7 @@ def edit_distance_semiglobal_host(read: np.ndarray, window: np.ndarray) -> int:
     for i in range(L):
         cur = np.empty(W + 1, dtype=np.int64)
         cur[0] = i + 1
-        sub = prev[:-1] + (window != read[i]) + (read[i] >= 4)
+        sub = prev[:-1] + ((window != read[i]) | (read[i] >= 4))
         ins = prev[1:] + 1
         best = np.minimum(sub, ins)
         # sequential deletion scan
@@ -129,7 +129,7 @@ def traceback_semiglobal_host(read: np.ndarray, window: np.ndarray):
     D = np.zeros((L + 1, W + 1), dtype=np.int64)
     D[:, 0] = np.arange(L + 1)
     for i in range(1, L + 1):
-        sub = D[i - 1, :-1] + (window != read[i - 1]) + (read[i - 1] >= 4)
+        sub = D[i - 1, :-1] + ((window != read[i - 1]) | (read[i - 1] >= 4))
         ins = D[i - 1, 1:] + 1
         best = np.minimum(sub, ins)
         run = D[i, 0]
@@ -141,7 +141,7 @@ def traceback_semiglobal_host(read: np.ndarray, window: np.ndarray):
     i = L
     ops = []
     while i > 0:
-        if j > 0 and D[i, j] == D[i - 1, j - 1] + (window[j - 1] != read[i - 1]) + (read[i - 1] >= 4):
+        if j > 0 and D[i, j] == D[i - 1, j - 1] + ((window[j - 1] != read[i - 1]) | (read[i - 1] >= 4)):
             ops.append("M")
             i -= 1
             j -= 1
