@@ -174,41 +174,66 @@ class SuffixFilterAligner:
         )
 
     def align_batch(self, reads: list[Read]) -> list[ApproxHit | None]:
+        import jax.numpy as jnp
+
         lengths = np.array([len(r) for r in reads], dtype=np.int32)
         verify_fwd = reads_to_batch_verify(reads)
         search_fwd = np.where(verify_fwd >= 4, 0, verify_fwd).astype(np.int32)
         verify_rc = revcomp_verify_batch(verify_fwd, lengths)
         search_rc = np.where(verify_rc >= 4, 0, verify_rc).astype(np.int32)
 
-        res_f = self._strand_pass(search_fwd, verify_fwd, lengths)
-        res_r = self._strand_pass(search_rc, verify_rc, lengths)
+        pf, df, nf, of = self._strand_pass(search_fwd, verify_fwd, lengths)
+        pr, dr, nr, orv = self._strand_pass(search_rc, verify_rc, lengths)
+
+        # deterministic best across strands: (dist, pos, strand) lexicographic
+        df = np.where(df <= self.k, df, 1 << 20)
+        dr = np.where(dr <= self.k, dr, 1 << 20)
+        take_r = (dr < df) | ((dr == df) & (pr < pf))
+        dist = np.where(take_r, dr, df).astype(np.int64)
+        cand = np.where(take_r, pr, pf).astype(np.int64)
+        strand = take_r.astype(np.int64)
+        mapped = dist <= self.k
+        n_good = (nf + nr).astype(np.int64)
+        ovf = of | orv
+
+        # fast CIGAR path: pure-substitution alignments need no traceback
+        vsel = np.where(strand[:, None] == 0, verify_fwd, verify_rc)
+        ham, o_min = suffix_filter.offset_hamming(
+            self.text_words,
+            self.fm.n,
+            jnp.asarray(vsel),
+            jnp.asarray(lengths),
+            jnp.asarray(np.where(mapped, cand, 0).astype(np.int32)),
+            self.k,
+        )
+        ham, o_min = np.asarray(ham), np.asarray(o_min)
 
         out: list[ApproxHit | None] = []
         for i in range(len(reads)):
-            pf, df, nf, of = (x[i] for x in res_f)
-            pr, dr, nr, orv = (x[i] for x in res_r)
-            n_good = int(nf) + int(nr)
-            ovf = bool(of) or bool(orv)
-            # deterministic: (dist, pos, strand)
-            choices = []
-            if df <= self.k:
-                choices.append((int(df), int(pf), 0))
-            if dr <= self.k:
-                choices.append((int(dr), int(pr), 1))
-            if not choices:
+            if not mapped[i]:
                 out.append(None)
                 continue
-            d, cand, strand = min(choices)
-            vcodes = verify_fwd[i] if strand == 0 else verify_rc[i]
             l = int(lengths[i])
-            ws = cand - self.k
+            ws = int(cand[i]) - self.k
+            if ham[i] == dist[i]:
+                pos = ws + int(o_min[i])
+                out.append(
+                    ApproxHit(
+                        pos, int(strand[i]), int(dist[i]), f"{l}M",
+                        int(n_good[i]), bool(ovf[i]),
+                    )
+                )
+                continue
+            # slow path (indels): full host traceback for this read only
+            vcodes = vsel[i]
             win = self.gi.fwd.extract(ws, l + 3 * self.k).astype(np.int64)
-            off = max(0, ws) - ws  # clipped leading bases
             d2, start, _, cigar = dp_ops.traceback_semiglobal_host(
                 vcodes[:l].astype(np.int64), win
             )
             pos = max(0, ws) + start
-            out.append(ApproxHit(pos, strand, int(d2), cigar, n_good, ovf))
+            out.append(
+                ApproxHit(pos, int(strand[i]), int(d2), cigar, int(n_good[i]), bool(ovf[i]))
+            )
         return out
 
     def to_sam(self, reads: list[Read], hits) -> list[sam.SamRecord]:

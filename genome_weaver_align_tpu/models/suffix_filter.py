@@ -139,6 +139,30 @@ def verify_candidates(
 
 
 @partial(jax.jit, static_argnames=("k",))
+def offset_hamming(
+    text_words: jax.Array,
+    n_text,
+    reads: jax.Array,  # (B, L) verify codes
+    lengths: jax.Array,
+    cand_pos: jax.Array,  # (B,) chosen best candidate estimate
+    k: int,
+):
+    """Hamming distance of each read vs window[cand-k+o : ...] for o in
+    [0, 2k].  If min == the edit distance, the alignment is pure
+    substitutions: CIGAR is '<L>M' with start cand-k+argmin — no traceback
+    needed (the fast path for substitution-dominated read streams)."""
+    B, L = reads.shape
+    W = L + 2 * k + 1
+    wins = window.gather_windows(text_words, n_text, cand_pos - k, W)
+    hams = []
+    for o in range(2 * k + 1):
+        hams.append(dp_ops.hamming_distance(reads, lengths, wins, o))
+    h = jnp.stack(hams, axis=1)  # (B, 2k+1)
+    o_min = jnp.argmin(h, axis=1).astype(jnp.int32)
+    return jnp.min(h, axis=1), o_min
+
+
+@partial(jax.jit, static_argnames=("k",))
 def best_hit(cand_pos: jax.Array, dist: jax.Array, k: int) -> VerifyResult:
     """Deterministic best: min (dist, pos); only dist <= k counts.
 
