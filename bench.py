@@ -1,19 +1,20 @@
 """Benchmark driver — prints ONE JSON line with the headline metric.
 
-Current headline: exact-match FM backward search + locate throughput
-(reads/s/chip) on an E. coli-scale synthetic genome, 36bp reads
-(BASELINE.json acceptance config 1).  Will widen to the full 100bp-vs-chr20
-suffix-filter pipeline as milestones land (configs 3-4).
+Headline: the full suffix-filter pipeline, 100bp reads (<=2 substitutions)
+vs a human-chr20-scale genome — BASELINE.json config 3 and the north-star
+"reads/s/chip".  Extra metrics ride along in the same JSON object:
+config-1 exact-match throughput and DP-verify GCUPS (banded + Myers).
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
-reported relative to the first recorded run of this bench (self-baseline);
-1.0 until a prior record exists in bench_baseline.json.
+relative to the first recorded value of each metric in bench_baseline.json
+(self-baseline; 1.0 on first run).
+
+Indexes and k-mer tables are built once and cached under bench_cache/.
 """
 
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
 from pathlib import Path
@@ -24,18 +25,28 @@ ROOT = Path(__file__).resolve().parent
 CACHE = ROOT / "bench_cache"
 BASELINE_FILE = ROOT / "bench_baseline.json"
 
-GENOME_LEN = 4_641_652  # E. coli K-12 scale
-READ_LEN = 36
-N_READS = 65_536
-BATCH = 16_384
+E_COLI = 4_641_652
+CHR20 = 64_444_167
+
+EXACT_BATCH = 131_072
+PIPE_BATCH = 16_384
+PIPE_BATCHES = 2
+KMER_J = 12
 
 
-def build_or_load_index():
+def log(msg):
+    sys.stderr.write(f"bench: {msg}\n")
+    sys.stderr.flush()
+
+
+def build_or_load_index(n, sample_rate=32, tag=None):
     from genome_weaver_align_tpu.index.build import FMIndexData, build_fm_index
     from genome_weaver_align_tpu.utils.bitvector import BitVector
 
     CACHE.mkdir(exist_ok=True)
-    path = CACHE / f"ecoli_{GENOME_LEN}.npz"
+    tag = tag or str(n)
+    path = CACHE / f"g{tag}.npz"
+    cpath = CACHE / f"g{tag}_codes.npy"
     if path.exists():
         z = np.load(path)
         bits = np.unpackbits(z["mark_bits"])[: int(z["n"]) + 1].astype(bool)
@@ -51,14 +62,13 @@ def build_or_load_index():
             ssa_values=z["ssa_values"],
             text_words=z["text_words"],
         )
-        codes = np.load(CACHE / f"ecoli_{GENOME_LEN}_codes.npy")
-        return codes, fm
-    sys.stderr.write("bench: building index (one-time)...\n")
+        return np.load(cpath), fm
+    log(f"building index ({n} bp, one-time)...")
     rng = np.random.default_rng(0)
-    codes = rng.integers(0, 4, size=GENOME_LEN, dtype=np.uint8)
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
     t0 = time.time()
-    fm = build_fm_index(codes, sample_rate=32)
-    sys.stderr.write(f"bench: index built in {time.time()-t0:.1f}s\n")
+    fm = build_fm_index(codes, sample_rate=sample_rate)
+    log(f"index built in {time.time()-t0:.1f}s")
     marks = np.zeros(fm.n + 1, dtype=bool)
     marks[:] = fm.ssa_marks.get(np.arange(fm.n + 1))
     np.savez(
@@ -74,11 +84,26 @@ def build_or_load_index():
         ssa_values=fm.ssa_values,
         text_words=fm.text_words,
     )
-    np.save(CACHE / f"ecoli_{GENOME_LEN}_codes.npy", codes)
+    np.save(cpath, codes)
     return codes, fm
 
 
-def simulate_read_batch(codes, n_reads, read_len, seed=1):
+def load_kmer(fm, tag):
+    from genome_weaver_align_tpu.index.kmer import build_kmer_table
+
+    path = CACHE / f"kmer{KMER_J}_{tag}.npz"
+    if path.exists():
+        z = np.load(path)
+        return z["lo"], z["hi"]
+    log(f"building {KMER_J}-mer table for {tag} (one-time)...")
+    t0 = time.time()
+    lo, hi = build_kmer_table(fm, KMER_J)
+    log(f"kmer table built in {time.time()-t0:.1f}s")
+    np.savez(path, lo=lo, hi=hi)
+    return lo, hi
+
+
+def sim_exact_reads(codes, n_reads, read_len, seed=1):
     rng = np.random.default_rng(seed)
     pos = rng.integers(0, codes.size - read_len, size=n_reads)
     idx = pos[:, None] + np.arange(read_len)[None, :]
@@ -88,66 +113,159 @@ def simulate_read_batch(codes, n_reads, read_len, seed=1):
     return reads, np.full(n_reads, read_len, dtype=np.int32)
 
 
-def main():
+def bench_exact(metrics):
     import jax
-
-    jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from genome_weaver_align_tpu.models import exact
     from genome_weaver_align_tpu.ops import rank
 
-    codes, fm = build_or_load_index()
+    codes, fm = build_or_load_index(E_COLI, tag="ecoli")
+    lo_t, hi_t = load_kmer(fm, "ecoli")
     dfm = rank.from_host(fm)
+    tab = (jnp.asarray(lo_t), jnp.asarray(hi_t))
 
-    reads, lengths = simulate_read_batch(codes, N_READS, READ_LEN)
+    reads, lengths = sim_exact_reads(codes, EXACT_BATCH, 36)
 
     @jax.jit
-    def step(fm, r, l):
-        lo, hi = exact.exact_interval_search(fm, r, l)
+    def step(fm, r, l, tlo, thi):
+        lo, hi = exact.exact_interval_search(
+            fm, r, l, kmer_tab=(tlo, thi), kmer_j=KMER_J
+        )
         pos, valid = exact.locate_hits(fm, lo, hi, max_hits=1)
         return pos, valid, hi - lo
 
-    # warmup / compile on one batch
-    r0 = jnp.asarray(reads[:BATCH])
-    l0 = jnp.asarray(lengths[:BATCH])
-    pos, valid, w = step(dfm, r0, l0)
-    pos.block_until_ready()
-
-    n_batches = N_READS // BATCH
+    r = jnp.asarray(reads)
+    l = jnp.asarray(lengths)
+    out = step(dfm, r, l, *tab)
+    jax.block_until_ready(out)
     t0 = time.time()
-    outs = []
-    for b in range(n_batches):
-        r = jnp.asarray(reads[b * BATCH : (b + 1) * BATCH])
-        l = jnp.asarray(lengths[b * BATCH : (b + 1) * BATCH])
-        outs.append(step(dfm, r, l))
-    jax.block_until_ready(outs)
+    reps = 3
+    for _ in range(reps):
+        out = step(dfm, r, l, *tab)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / reps
+    n_mapped = int(np.asarray(out[1]).sum())
+    assert n_mapped >= EXACT_BATCH * 0.45, n_mapped
+    metrics["exact_36bp_ecoli_reads_per_s"] = round(EXACT_BATCH / dt, 1)
+    log(f"exact 36bp: {EXACT_BATCH/dt:,.0f} reads/s ({n_mapped} fwd-mapped)")
+
+
+def bench_pipeline(metrics):
+    import jax
+
+    from genome_weaver_align_tpu.index.files import Genome, GenomeIndex
+    from genome_weaver_align_tpu.models.pipeline import SuffixFilterAligner
+    from genome_weaver_align_tpu.utils import simulate
+    from genome_weaver_align_tpu.utils.fasta import Read
+
+    codes, fm = build_or_load_index(CHR20, tag="chr20")
+    genome = Genome(
+        names=["chr20s"],
+        offsets=np.array([0, codes.size], dtype=np.int64),
+        codes=codes,
+        n_mask_spans=np.zeros((0, 2), np.int64),
+    )
+    gi = GenomeIndex(genome, fm, None)  # rev index not needed for pigeonhole
+    al = SuffixFilterAligner(gi, k=2, max_hits_per_piece=16)
+
+    log("simulating pipeline reads...")
+    sims = simulate.simulate_reads(
+        codes, PIPE_BATCH * PIPE_BATCHES, 100, seed=3, sub_rate=0.015, max_subs=2
+    )
+    reads = [s.read for s in sims]
+
+    # warmup batch (compile)
+    al.align_batch(reads[:PIPE_BATCH])
+    t0 = time.time()
+    n_mapped = n_correct = 0
+    for b in range(PIPE_BATCHES):
+        batch = reads[b * PIPE_BATCH : (b + 1) * PIPE_BATCH]
+        hits = al.align_batch(batch)
+        for s, h in zip(sims[b * PIPE_BATCH : (b + 1) * PIPE_BATCH], hits):
+            if h is not None:
+                n_mapped += 1
+                if h.pos == s.true_pos and h.strand == s.true_strand:
+                    n_correct += 1
     dt = time.time() - t0
-    reads_per_s = N_READS / dt
+    total = PIPE_BATCH * PIPE_BATCHES
+    rate = total / dt
+    assert n_mapped >= total * 0.98, f"mapped {n_mapped}/{total}"
+    assert n_correct >= total * 0.95, f"correct {n_correct}/{total}"
+    metrics["pipeline_k2_100bp_chr20_reads_per_s"] = round(rate, 1)
+    metrics["pipeline_mapped_frac"] = round(n_mapped / total, 4)
+    metrics["pipeline_correct_frac"] = round(n_correct / total, 4)
+    log(f"pipeline 100bp chr20: {rate:,.0f} reads/s ({n_correct}/{total} correct)")
+    return gi
 
-    # sanity: virtually all reads must map (fwd strand reads map exactly;
-    # rc reads map iff their revcomp occurs — search only fwd orientation here,
-    # so count mapped among fwd-oriented half as correctness proxy)
-    n_mapped = int(sum(int((np.asarray(v)).sum()) for (_, v, _) in outs))
-    assert n_mapped >= N_READS * 0.45, f"only {n_mapped}/{N_READS} mapped"
 
-    value = round(reads_per_s, 1)
-    vs = 1.0
+def bench_gcups(metrics, gi):
+    import jax
+    import jax.numpy as jnp
+
+    from genome_weaver_align_tpu.ops import dp, myers
+
+    rng = np.random.default_rng(0)
+    Q, L, k = 65_536, 100, 2
+    W = L + 3 * k
+    reads = jnp.asarray(rng.integers(0, 4, size=(Q, L)), jnp.int8)
+    wins = jnp.asarray(rng.integers(0, 4, size=(Q, W)), jnp.int8)
+    lengths = jnp.full((Q,), L, jnp.int32)
+
+    d = dp.banded_edit_distance(reads, lengths, wins, k)
+    jax.block_until_ready(d)
+    t0 = time.time()
+    reps = 5
+    for _ in range(reps):
+        d = dp.banded_edit_distance(reads, lengths, wins, k)
+    jax.block_until_ready(d)
+    dt = (time.time() - t0) / reps
+    cells = Q * L * (4 * k + 1)
+    metrics["banded_dp_gcups"] = round(cells / dt / 1e9, 2)
+    log(f"banded DP: {cells/dt/1e9:.2f} GCUPS (band {4*k+1})")
+
+    m = myers.myers_semiglobal(reads.astype(jnp.int32), lengths, wins.astype(jnp.int32), 4)
+    jax.block_until_ready(m)
+    t0 = time.time()
+    for _ in range(reps):
+        m = myers.myers_semiglobal(reads.astype(jnp.int32), lengths, wins.astype(jnp.int32), 4)
+    jax.block_until_ready(m)
+    dt = (time.time() - t0) / reps
+    cells = Q * L * W  # bit-parallel computes the full L x W matrix
+    metrics["myers_gcups"] = round(cells / dt / 1e9, 2)
+    log(f"Myers bit-parallel: {cells/dt/1e9:.2f} GCUPS (full matrix)")
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    metrics = {}
+    bench_exact(metrics)
+    gi = bench_pipeline(metrics)
+    bench_gcups(metrics, gi)
+
+    headline = "pipeline_k2_100bp_chr20_reads_per_s"
+    value = metrics[headline]
+
+    base = {}
     if BASELINE_FILE.exists():
-        rec = json.loads(BASELINE_FILE.read_text())
-        if rec.get("value"):
-            vs = round(value / rec["value"], 3)
-    else:
-        BASELINE_FILE.write_text(json.dumps({"metric": "exact_reads_per_s", "value": value}))
+        base = json.loads(BASELINE_FILE.read_text())
+    if headline not in base:
+        base[headline] = value
+        BASELINE_FILE.write_text(json.dumps(base, indent=1))
+    vs = round(value / base[headline], 3)
 
     print(
         json.dumps(
             {
-                "metric": "exact-match FM search+locate reads/s/chip (36bp, E.coli-scale)",
+                "metric": "suffix-filter k=2 pipeline reads/s/chip (100bp vs chr20-scale)",
                 "value": value,
                 "unit": "reads/s",
                 "vs_baseline": vs,
+                "extra": metrics,
             }
         )
     )

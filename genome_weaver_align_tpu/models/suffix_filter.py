@@ -130,7 +130,7 @@ def verify_candidates(
     wins = window.gather_windows(
         fm_text_words, n_text, jnp.where(invalid, 0, ws).reshape(-1), window_width
     )
-    r = jnp.repeat(reads, C, axis=0)
+    r = jnp.repeat(reads.astype(jnp.int8), C, axis=0)
     ln = jnp.repeat(lengths, C)
     dist, end_b = dp_ops.banded_edit_distance(r, ln, wins, k)
     dist = dist.reshape(B, C)

@@ -21,13 +21,16 @@ def gather_windows(
     starts: jax.Array,  # (Q,) int32 window starts (may be negative)
     width: int,
 ):
-    """-> (Q, width) int32 codes, 4 where out of range."""
+    """-> (Q, width) int8 codes, 4 where out of range.
+
+    int8: the verify stage holds (B*C, W) windows — the narrow dtype keeps
+    the HBM footprint 4x smaller than int32."""
     idx = starts[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :]
     valid = (idx >= 0) & (idx < n)
     safe = jnp.clip(idx, 0, jnp.asarray(n, jnp.int32) - 1)
     w = text_words[safe >> 4]
-    codes = ((w >> (2 * (safe & 15)).astype(jnp.uint32)) & jnp.uint32(3)).astype(jnp.int32)
-    return jnp.where(valid, codes, 4)
+    codes = ((w >> (2 * (safe & 15)).astype(jnp.uint32)) & jnp.uint32(3)).astype(jnp.int8)
+    return jnp.where(valid, codes, jnp.int8(4))
 
 
 def pack_text_for_device(text_words: np.ndarray) -> jax.Array:

@@ -29,6 +29,9 @@ class SamRecord:
     seq: str
     qual: str
     tags: tuple = ()
+    rnext: str = "*"  # mate reference ('=' for same contig)
+    pnext: int = -1  # mate position, 0-based; emitted 1-based
+    tlen: int = 0
 
     def line(self) -> str:
         fields = [
@@ -38,9 +41,9 @@ class SamRecord:
             str(self.pos + 1),
             str(self.mapq),
             self.cigar,
-            "*",
-            "0",
-            "0",
+            self.rnext,
+            str(self.pnext + 1),
+            str(self.tlen),
             self.seq,
             self.qual,
         ]

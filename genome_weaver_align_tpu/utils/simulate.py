@@ -111,3 +111,47 @@ def reads_to_batch(reads: list[Read], pad_to: int | None = None) -> np.ndarray:
         c = np.where(r.codes >= 4, 0, r.codes)
         out[i, : len(r)] = c
     return out
+
+
+@dataclass
+class SimPair:
+    r1: SimRead
+    r2: SimRead
+    fragment_start: int
+    fragment_len: int
+
+
+def simulate_pairs(
+    genome: np.ndarray,
+    n_pairs: int,
+    read_len: int,
+    seed: int = 1,
+    insert_mean: int = 350,
+    insert_sd: int = 30,
+    sub_rate: float = 0.0,
+    max_subs: int | None = None,
+) -> list[SimPair]:
+    """FR-oriented pairs: R1 = fragment start (fwd), R2 = fragment end (rc)."""
+    rng = np.random.default_rng(seed)
+    n = genome.size
+    out: list[SimPair] = []
+    for pidx in range(n_pairs):
+        frag = int(np.clip(rng.normal(insert_mean, insert_sd), 2 * read_len, None))
+        pos = int(rng.integers(0, n - frag - 1))
+        segs = []
+        for mate, (p, strand) in enumerate(
+            [(pos, 0), (pos + frag - read_len, 1)]
+        ):
+            seq = genome[p : p + read_len].copy()
+            n_sub = _count(rng, read_len, sub_rate, max_subs)
+            for _ in range(n_sub):
+                at = int(rng.integers(0, read_len))
+                seq[at] = (seq[at] + 1 + rng.integers(0, 3)) % 4
+            if strand:
+                seq = dna.revcomp(seq)
+            name = f"p{pidx}"
+            segs.append(
+                SimRead(Read(name, seq.astype(np.uint8), None), p, strand, n_sub, 0, 0)
+            )
+        out.append(SimPair(segs[0], segs[1], pos, frag))
+    return out
