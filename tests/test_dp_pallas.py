@@ -1,0 +1,53 @@
+"""Pallas wavefront DP kernel (interpreter mode on CPU) vs. the jnp version."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from genome_weaver_align_tpu.ops import dp, dp_pallas
+
+
+@pytest.mark.parametrize("k,Q,L", [(1, 64, 30), (2, 130, 50), (4, 256, 100)])
+def test_pallas_matches_jnp(k, Q, L):
+    rng = np.random.default_rng(k + Q)
+    W = L + 3 * k
+    reads = rng.integers(0, 4, size=(Q, L)).astype(np.int32)
+    wins = rng.integers(0, 4, size=(Q, W)).astype(np.int32)
+    lengths = rng.integers(L // 2, L + 1, size=Q).astype(np.int32)
+    want, _ = dp.banded_edit_distance(
+        jnp.asarray(reads), jnp.asarray(lengths), jnp.asarray(wins), k
+    )
+    got, _ = dp_pallas.banded_edit_distance_pallas(
+        jnp.asarray(reads), jnp.asarray(lengths), jnp.asarray(wins), k, interpret=True
+    )
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_planted(k=2):
+    rng = np.random.default_rng(5)
+    genome = rng.integers(0, 4, size=3000).astype(np.int32)
+    Q, L = 128, 60
+    W = L + 3 * k
+    reads = np.zeros((Q, L), np.int32)
+    wins = np.zeros((Q, W), np.int32)
+    expect = np.zeros(Q, np.int64)
+    for q in range(Q):
+        p = int(rng.integers(k, genome.size - W - k))
+        r = genome[p : p + L].copy()
+        ne = int(rng.integers(0, k + 1))
+        for _ in range(ne):
+            at = int(rng.integers(0, L))
+            r[at] = (r[at] + 1 + rng.integers(0, 3)) % 4
+        reads[q] = r
+        wins[q] = genome[p - k : p - k + W]
+        expect[q] = dp.edit_distance_semiglobal_host(r, wins[q])
+    got, _ = dp_pallas.banded_edit_distance_pallas(
+        jnp.asarray(reads),
+        jnp.asarray(np.full(Q, L, np.int32)),
+        jnp.asarray(wins),
+        k,
+        interpret=True,
+    )
+    got = np.asarray(got)
+    sel = expect <= k
+    assert np.array_equal(got[sel], expect[sel])
