@@ -1,0 +1,201 @@
+"""Fully sharded approximate-alignment step (SURVEY.md §3.4; config 5).
+
+One ``shard_map`` over the (data, interval) mesh runs the whole per-batch
+pipeline:
+
+1. piece exact search   — every interval-update answered by the owning BWT
+                          shard, merged with psum (P2/P3);
+2. sparse-SA locate     — per-LF-step collectives;
+3. candidate dedup      — local sort + neighbour mask;
+4. window gather        — genome text is interval-sharded too; each position
+                          is contributed by its owning shard and psum-merged;
+5. DP verify            — *split across the interval axis*: each member
+                          verifies a slice of the candidate set, results
+                          all_gather'd — the interval axis does productive
+                          work instead of replicating the verify;
+6. best-hit selection   — local, deterministic (dist, pos) order.
+
+Outputs are data-sharded (best_pos, best_dist, n_good) per read.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.build import FMIndexData
+from ..models import suffix_filter as sf
+from ..ops import dp as dp_ops
+from . import sharded_index as si
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ShardedText:
+    """Interval-sharded packed genome text for window gathers."""
+
+    words: jax.Array  # (S, wlen) uint32
+    base: jax.Array  # (S,) int32 — first base covered by this shard
+    end: jax.Array  # (S,) int32
+    n: int = dataclasses.field(metadata=dict(static=True))
+
+
+def shard_text(text_words: np.ndarray, n: int, n_shards: int) -> ShardedText:
+    total_words = text_words.size
+    ws = -(-total_words // n_shards)
+    words = np.zeros((n_shards, ws), dtype=np.uint32)
+    base = np.zeros(n_shards, np.int32)
+    end = np.zeros(n_shards, np.int32)
+    for s in range(n_shards):
+        w0 = s * ws
+        w1 = min(total_words, w0 + ws)
+        if w0 < total_words:
+            words[s, : w1 - w0] = text_words[w0:w1]
+        base[s] = min(w0 * 16, n)
+        end[s] = min(w1 * 16, n)
+    return ShardedText(jnp.asarray(words), jnp.asarray(base), jnp.asarray(end), n)
+
+
+def text_specs(axis: str, like: ShardedText):
+    from jax.sharding import PartitionSpec as P
+
+    return dataclasses.replace(like, words=P(axis), base=P(axis), end=P(axis))
+
+
+def put_text(tx: ShardedText, mesh, axis: str) -> ShardedText:
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    put = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis)))
+    return dataclasses.replace(
+        tx, words=put(tx.words), base=put(tx.base), end=put(tx.end)
+    )
+
+
+def _squeeze_text(tx: ShardedText) -> ShardedText:
+    return dataclasses.replace(
+        tx, words=tx.words[0], base=tx.base[0], end=tx.end[0]
+    )
+
+
+def local_gather_windows(tx: ShardedText, starts, width: int):
+    """This shard's contribution to (Q, width) window codes; psum merges."""
+    idx = starts[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :]
+    own = (idx >= tx.base) & (idx < tx.end)
+    local = jnp.clip(idx - tx.base, 0, None)
+    local_words = tx.words[jnp.clip(local >> 4, 0, tx.words.shape[0] - 1)]
+    codes = ((local_words >> (2 * (local & 15)).astype(jnp.uint32)) & jnp.uint32(3)).astype(
+        jnp.int32
+    )
+    # positions outside the genome get code 4 exactly once (by the owner of
+    # the clamped boundary shard? no — by NO shard; add it after the psum)
+    return jnp.where(own, codes, 0), own.astype(jnp.int32)
+
+
+def make_sharded_pigeonhole_align(
+    mesh,
+    interval_axis: str,
+    data_axis: str,
+    *,
+    like_index: si.ShardedFMIndex,
+    like_text: ShardedText,
+    max_len: int,
+    k: int,
+    max_hits: int = 8,
+):
+    from jax.sharding import PartitionSpec as P
+
+    n_pieces = k + 1
+    n_interval = mesh.shape[interval_axis]
+    W = max_len + 3 * k
+
+    def local_fn(sh, tx, reads, lengths):
+        sh = si.squeeze_local(sh)
+        tx = _squeeze_text(tx)
+        B, L = reads.shape
+        bounds = sf._piece_bounds(lengths, n_pieces)
+        s, e = bounds[:, :-1], bounds[:, 1:]
+
+        # 1. piece search with per-step interval collectives
+        def body(t, state):
+            lo, hi = state
+            j = e - 1 - t
+            active = (j >= s) & (lo < hi)
+            c = jnp.take_along_axis(reads, jnp.clip(j, 0), axis=1)
+            nlo, nhi = si.backward_step(sh, c, lo, hi, interval_axis)
+            return jnp.where(active, nlo, lo), jnp.where(active, nhi, hi)
+
+        steps = (max_len + n_pieces - 1) // n_pieces + 1
+        lo0 = jnp.zeros((B, n_pieces), jnp.int32)
+        hi0 = jnp.full((B, n_pieces), sh.n + 1, jnp.int32)
+        lo, hi = jax.lax.fori_loop(0, steps, body, (lo0, hi0))
+        overflow = jnp.any((hi - lo) > max_hits, axis=1)
+
+        # 2. locate candidate rows (collective LF walk)
+        rows = lo[:, :, None] + jnp.arange(max_hits, dtype=jnp.int32)[None, None, :]
+        valid = rows < hi[:, :, None]
+        pos = si.locate(sh, jnp.clip(rows, 0, sh.n).reshape(-1), interval_axis)
+        pos = pos.reshape(rows.shape)
+        cand = jnp.where(valid, pos - s[:, :, None], sf.NO_CAND).reshape(B, -1)
+
+        # 3. dedup (local)
+        cand = jnp.sort(cand, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1
+        )
+        cand = jnp.sort(jnp.where(dup, sf.NO_CAND, cand), axis=1)
+        C = cand.shape[1]
+
+        # 4. windows for ALL candidates: owner-computes + psum requires every
+        # interval member to pose the SAME query set (each position has
+        # exactly one owner; mixing per-member query sets would psum
+        # unrelated answers)
+        Cs = -(-C // n_interval)
+        me = jax.lax.axis_index(interval_axis)
+        pad = Cs * n_interval - C
+        cand_p = jnp.concatenate(
+            [cand, jnp.full((B, pad), sf.NO_CAND, jnp.int32)], axis=1
+        )
+        Cp = cand_p.shape[1]
+        invalid_all = cand_p == sf.NO_CAND
+        ws_all = jnp.where(invalid_all, 0, cand_p - k).reshape(-1)
+        part, own = local_gather_windows(tx, ws_all, W)
+        wins = jax.lax.psum(jnp.stack([part, own]), interval_axis)
+        codes_all = jnp.where(wins[1] > 0, wins[0], 4).reshape(B, Cp, W)
+
+        # 5a/5b. verify MY slice of the candidate axis (the interval axis
+        # does productive work here instead of replicating the verify)
+        my_codes = jax.lax.dynamic_slice_in_dim(codes_all, me * Cs, Cs, axis=1)
+        invalid = jax.lax.dynamic_slice_in_dim(invalid_all, me * Cs, Cs, axis=1)
+        r = jnp.repeat(reads.astype(jnp.int8), Cs, axis=0)
+        ln = jnp.repeat(lengths, Cs)
+        dist, _ = dp_ops.banded_edit_distance(
+            r, ln, my_codes.reshape(B * Cs, W).astype(jnp.int8), k
+        )
+        dist = dist.reshape(B, Cs)
+        dist = jnp.where(invalid, dp_ops.INF, dist)
+
+        # 5c. all_gather the distance slices back to full candidate axis
+        dist_all = jax.lax.all_gather(dist, interval_axis, axis=1, tiled=True)
+        cand_all = cand_p  # identical on every member
+
+        # 6. best hit (deterministic)
+        best = sf.best_hit(cand_all, dist_all, k)
+        return best.best_pos, best.best_dist, best.n_good, overflow
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            si.index_specs(interval_axis, like_index),
+            text_specs(interval_axis, like_text),
+            P(data_axis),
+            P(data_axis),
+        ),
+        out_specs=(P(data_axis), P(data_axis), P(data_axis), P(data_axis)),
+        check_vma=False,
+    )
+    return jax.jit(fn)

@@ -1,0 +1,67 @@
+"""Sharded full pipeline vs. single-device pipeline — identical best hits."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from genome_weaver_align_tpu.index.build import build_fm_index
+from genome_weaver_align_tpu.models import suffix_filter as sf
+from genome_weaver_align_tpu.ops import rank
+from genome_weaver_align_tpu.parallel import mesh as pmesh
+from genome_weaver_align_tpu.parallel import sharded_index as si
+from genome_weaver_align_tpu.parallel import sharded_pipeline as sp
+
+
+@pytest.mark.parametrize("n_data,n_interval", [(2, 4), (4, 2)])
+def test_sharded_pipeline_matches_single(n_data, n_interval):
+    rng = np.random.default_rng(71)
+    codes = rng.integers(0, 4, size=20000, dtype=np.uint8)
+    fm = build_fm_index(codes, sample_rate=16)
+    k, L = 2, 60
+    B = 8 * n_data
+    reads = np.zeros((B, L), dtype=np.int32)
+    for i in range(B):
+        p = int(rng.integers(0, codes.size - L))
+        r = codes[p : p + L].astype(np.int32).copy()
+        for _ in range(int(rng.integers(0, k + 1))):
+            at = int(rng.integers(0, L))
+            r[at] = (r[at] + 1 + rng.integers(0, 3)) % 4
+        reads[i] = r
+    lengths = np.full(B, L, np.int32)
+
+    m = pmesh.make_mesh(n_data=n_data, n_interval=n_interval)
+    sh = si.put_sharded(si.shard_fm_index(fm, n_interval), m, pmesh.INTERVAL_AXIS)
+    tx = sp.put_text(
+        sp.shard_text(fm.text_words, fm.n, n_interval), m, pmesh.INTERVAL_AXIS
+    )
+    fn = sp.make_sharded_pigeonhole_align(
+        m,
+        pmesh.INTERVAL_AXIS,
+        pmesh.DATA_AXIS,
+        like_index=sh,
+        like_text=tx,
+        max_len=L,
+        k=k,
+        max_hits=8,
+    )
+    r, l, _ = pmesh.shard_reads(m, reads, lengths)
+    bp, bd, ng, ovf = (np.asarray(x) for x in fn(sh, tx, r, l))
+
+    # single-device reference
+    dfm = rank.from_host(fm)
+    cands = sf.pigeonhole_candidates(
+        dfm, jnp.asarray(reads), jnp.asarray(lengths), k + 1, 8
+    )
+    dist, _ = sf.verify_candidates(
+        jnp.asarray(fm.text_words),
+        fm.n,
+        jnp.asarray(reads),
+        jnp.asarray(lengths),
+        cands.cand_pos,
+        k,
+        L + 3 * k,
+    )
+    best = sf.best_hit(cands.cand_pos, dist, k)
+    assert np.array_equal(bp, np.asarray(best.best_pos))
+    assert np.array_equal(bd, np.asarray(best.best_dist))
+    assert np.array_equal(ng, np.asarray(best.n_good))
