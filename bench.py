@@ -120,7 +120,7 @@ def bench_exact(metrics):
     from genome_weaver_align_tpu.models import exact
     from genome_weaver_align_tpu.ops import rank
 
-    codes, fm = build_or_load_index(E_COLI, tag="ecoli")
+    codes, fm = build_or_load_index(E_COLI, tag="ecoli_r8", sample_rate=8)
     lo_t, hi_t = load_kmer(fm, "ecoli")
     dfm = rank.from_host(fm)
     tab = (jnp.asarray(lo_t), jnp.asarray(hi_t))
@@ -159,7 +159,7 @@ def bench_pipeline(metrics):
     from genome_weaver_align_tpu.utils import simulate
     from genome_weaver_align_tpu.utils.fasta import Read
 
-    codes, fm = build_or_load_index(CHR20, tag="chr20")
+    codes, fm = build_or_load_index(CHR20, tag="chr20_r8", sample_rate=8)
     genome = Genome(
         names=["chr20s"],
         offsets=np.array([0, codes.size], dtype=np.int64),
@@ -167,7 +167,7 @@ def bench_pipeline(metrics):
         n_mask_spans=np.zeros((0, 2), np.int64),
     )
     gi = GenomeIndex(genome, fm, None)  # rev index not needed for pigeonhole
-    al = SuffixFilterAligner(gi, k=2, max_hits_per_piece=16)
+    al = SuffixFilterAligner(gi, k=2, max_hits_per_piece=8)
 
     log("simulating pipeline reads...")
     sims = simulate.simulate_reads(

@@ -114,7 +114,7 @@ class SuffixFilterAligner:
         self,
         gi: GenomeIndex,
         k: int = 2,
-        max_hits_per_piece: int = 16,
+        max_hits_per_piece: int = 8,
         use_staircase: bool = False,
     ):
         import jax.numpy as jnp
@@ -265,6 +265,8 @@ class SuffixFilterAligner:
 def reads_to_batch_verify(reads: list[Read]) -> np.ndarray:
     """(B, L) int32 with N kept as 4 (counts as an edit in verify)."""
     L = max(len(r) for r in reads)
+    if all(len(r) == L for r in reads):  # uniform: one vectorised stack
+        return np.stack([r.codes for r in reads]).astype(np.int32)
     out = np.zeros((len(reads), L), dtype=np.int32)
     for i, r in enumerate(reads):
         out[i, : len(r)] = r.codes
@@ -272,6 +274,10 @@ def reads_to_batch_verify(reads: list[Read]) -> np.ndarray:
 
 
 def revcomp_verify_batch(batch: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    L = batch.shape[1]
+    if np.all(lengths == L):  # uniform-length fast path
+        rc = batch[:, ::-1]
+        return np.where(rc < 4, 3 - rc, rc).astype(batch.dtype)
     out = np.zeros_like(batch)
     for i in range(batch.shape[0]):
         l = int(lengths[i])

@@ -23,13 +23,26 @@ def gather_windows(
 ):
     """-> (Q, width) int8 codes, 4 where out of range.
 
-    int8: the verify stage holds (B*C, W) windows — the narrow dtype keeps
-    the HBM footprint 4x smaller than int32."""
+    Gathers whole 16-base words (width/16 + 2 per query) and unpacks with a
+    static word-select loop — ~16x fewer gather elements than a per-base
+    gather, which dominated the verify stage.  int8 output keeps the
+    (B*C, W) window tensor 4x smaller in HBM."""
+    nw = width // 16 + 2
+    w0 = starts >> 4  # first word per query (floor for negatives too)
+    widx = w0[:, None] + jnp.arange(nw, dtype=jnp.int32)[None, :]
+    n_words = text_words.shape[0]
+    words = text_words[jnp.clip(widx, 0, n_words - 1)]  # (Q, nw) word gather
+
     idx = starts[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :]
     valid = (idx >= 0) & (idx < n)
-    safe = jnp.clip(idx, 0, jnp.asarray(n, jnp.int32) - 1)
-    w = text_words[safe >> 4]
-    codes = ((w >> (2 * (safe & 15)).astype(jnp.uint32)) & jnp.uint32(3)).astype(jnp.int8)
+    local_w = (idx >> 4) - w0[:, None]  # in [0, nw)
+    shift = (2 * (idx & 15)).astype(jnp.uint32)
+    codes = jnp.zeros(idx.shape, jnp.uint32)
+    for wslot in range(nw):  # static select: no second gather
+        codes = jnp.where(
+            local_w == wslot, (words[:, wslot][:, None] >> shift), codes
+        )
+    codes = (codes & jnp.uint32(3)).astype(jnp.int8)
     return jnp.where(valid, codes, jnp.int8(4))
 
 
