@@ -167,7 +167,10 @@ def bench_pipeline(metrics):
         n_mask_spans=np.zeros((0, 2), np.int64),
     )
     gi = GenomeIndex(genome, fm, None)  # rev index not needed for pigeonhole
-    al = SuffixFilterAligner(gi, k=2, max_hits_per_piece=8)
+    kl, kh = load_kmer(fm, "chr20")
+    al = SuffixFilterAligner(
+        gi, k=2, max_hits_per_piece=8, kmer_table=(kl, kh), kmer_j=KMER_J
+    )
 
     log("simulating pipeline reads...")
     sims = simulate.simulate_reads(

@@ -116,6 +116,8 @@ class SuffixFilterAligner:
         k: int = 2,
         max_hits_per_piece: int = 8,
         use_staircase: bool = False,
+        kmer_table=None,  # (lo, hi) numpy arrays from index.kmer, optional
+        kmer_j: int = 0,
     ):
         import jax.numpy as jnp
 
@@ -126,6 +128,11 @@ class SuffixFilterAligner:
         self.fm = rank.from_host(gi.fwd)
         self.text_words = jnp.asarray(gi.fwd.text_words)
         self.use_staircase = use_staircase
+        self.kmer_tab = None
+        self.kmer_j = 0
+        if kmer_table is not None and kmer_j > 0:
+            self.kmer_tab = (jnp.asarray(kmer_table[0]), jnp.asarray(kmer_table[1]))
+            self.kmer_j = kmer_j
         self._rev_fm = None
         if use_staircase:
             from . import bidirectional as bd
@@ -149,12 +156,16 @@ class SuffixFilterAligner:
                 max_hits=self.max_hits,
             )
         else:
+            min_piece = int(lengths.min()) // self.n_pieces
             cands = suffix_filter.pigeonhole_candidates(
                 self.fm,
                 jnp.asarray(search_reads),
                 jnp.asarray(lengths),
                 self.n_pieces,
                 self.max_hits,
+                kmer_tab=self.kmer_tab,
+                kmer_j=self.kmer_j,
+                kmer_full_cover=bool(self.kmer_j and min_piece >= self.kmer_j),
             )
         dist, _ = suffix_filter.verify_candidates(
             self.text_words,

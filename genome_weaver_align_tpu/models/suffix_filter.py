@@ -46,45 +46,73 @@ def _piece_bounds(lengths: jax.Array, n_pieces: int):
     return (lengths[:, None] * i) // n_pieces  # (B, n_pieces+1)
 
 
-@partial(jax.jit, static_argnames=("n_pieces", "max_len"))
+@partial(jax.jit, static_argnames=("n_pieces", "max_len", "kmer_j", "kmer_full_cover"))
 def piece_interval_search(
     fm: DeviceFMIndex,
     reads: jax.Array,  # (B, L) int32
     lengths: jax.Array,
     n_pieces: int,
     max_len: int | None = None,
+    kmer_tab: tuple[jax.Array, jax.Array] | None = None,
+    kmer_j: int = 0,
+    kmer_full_cover: bool = False,
 ):
-    """Exact backward search of every piece: (B, P) SA intervals."""
+    """Exact backward search of every piece: (B, P) SA intervals.
+
+    With a k-mer table, each piece's last ``kmer_j`` characters resolve with
+    one lookup (pieces shorter than kmer_j fall back to the plain loop).
+    ``kmer_full_cover=True`` (caller guarantees every piece >= kmer_j) also
+    shortens the interval-update loop by kmer_j rounds."""
     B, L = reads.shape
     bounds = _piece_bounds(lengths, n_pieces)
     s, e = bounds[:, :-1], bounds[:, 1:]  # (B, P)
     steps = (L + n_pieces - 1) // n_pieces + 1 if max_len is None else max_len
 
+    if kmer_tab is not None and kmer_j > 0:
+        use_tab = (e - s) >= kmer_j  # (B, P)
+        idx = jnp.zeros((B, n_pieces), jnp.int32)
+        for t in range(kmer_j):
+            pos = jnp.clip(e - kmer_j + t, 0)
+            c = jnp.take_along_axis(reads, pos, axis=1)
+            idx = (idx << 2) | c
+        lo0 = jnp.where(use_tab, kmer_tab[0][idx], 0)
+        hi0 = jnp.where(use_tab, kmer_tab[1][idx], fm.n + 1)
+        skip = jnp.where(use_tab, kmer_j, 0)
+    else:
+        lo0 = jnp.zeros((B, n_pieces), jnp.int32)
+        hi0 = jnp.full((B, n_pieces), fm.n + 1, jnp.int32)
+        skip = jnp.zeros((B, n_pieces), jnp.int32)
+
     def body(t, state):
         lo, hi = state
-        j = e - 1 - t  # (B, P)
+        j = e - 1 - skip - t  # (B, P)
         active = (j >= s) & (lo < hi)
         c = jnp.take_along_axis(reads, jnp.clip(j, 0), axis=1)
         nlo, nhi = rank.backward_step(fm, c, lo, hi)
         return jnp.where(active, nlo, lo), jnp.where(active, nhi, hi)
 
-    lo0 = jnp.zeros((B, n_pieces), jnp.int32)
-    hi0 = jnp.full((B, n_pieces), fm.n + 1, jnp.int32)
-    lo, hi = jax.lax.fori_loop(0, steps, body, (lo0, hi0))
+    trip = steps - kmer_j if (kmer_tab is not None and kmer_full_cover) else steps
+    lo, hi = jax.lax.fori_loop(0, trip, body, (lo0, hi0))
     return lo, hi, s
 
 
-@partial(jax.jit, static_argnames=("n_pieces", "max_hits"))
+@partial(jax.jit, static_argnames=("n_pieces", "max_hits", "kmer_j", "kmer_full_cover"))
 def pigeonhole_candidates(
     fm: DeviceFMIndex,
     reads: jax.Array,
     lengths: jax.Array,
     n_pieces: int,
     max_hits: int = 16,
+    kmer_tab=None,
+    kmer_j: int = 0,
+    kmer_full_cover: bool = False,
 ) -> CandidateResult:
     """Candidate loci from exact piece matches, deduped and sorted."""
     B, L = reads.shape
-    lo, hi, s = piece_interval_search(fm, reads, lengths, n_pieces)
+    lo, hi, s = piece_interval_search(
+        fm, reads, lengths, n_pieces,
+        kmer_tab=kmer_tab, kmer_j=kmer_j, kmer_full_cover=kmer_full_cover,
+    )
     width = hi - lo
     overflow = jnp.any(width > max_hits, axis=1)
 

@@ -85,6 +85,24 @@ def test_sam_output(gi, tmp_path):
             assert nm and int(nm[0][5:]) == int(rec.tags[0][2])
 
 
+def test_aligner_with_kmer_table(gi):
+    from genome_weaver_align_tpu.index.kmer import build_kmer_table
+
+    lo, hi = build_kmer_table(gi.fwd, 6)
+    sims = simulate.simulate_reads(
+        gi.genome.codes, n_reads=40, read_len=100, seed=5, sub_rate=0.02, max_subs=2
+    )
+    reads = [s.read for s in sims]
+    plain = SuffixFilterAligner(gi, k=2).align_batch(reads)
+    seeded = SuffixFilterAligner(
+        gi, k=2, kmer_table=(lo, hi), kmer_j=6
+    ).align_batch(reads)
+    for a, b in zip(plain, seeded):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert (a.pos, a.strand, a.dist, a.cigar) == (b.pos, b.strand, b.dist, b.cigar)
+
+
 def test_unmappable_read(gi):
     rng = np.random.default_rng(44)
     from genome_weaver_align_tpu.utils.fasta import Read
