@@ -166,6 +166,7 @@ class SuffixFilterAligner:
                 kmer_tab=self.kmer_tab,
                 kmer_j=self.kmer_j,
                 kmer_full_cover=bool(self.kmer_j and min_piece >= self.kmer_j),
+                max_cands=8,
             )
         dist, _ = suffix_filter.verify_candidates(
             self.text_words,

@@ -96,7 +96,9 @@ def piece_interval_search(
     return lo, hi, s
 
 
-@partial(jax.jit, static_argnames=("n_pieces", "max_hits", "kmer_j", "kmer_full_cover"))
+@partial(jax.jit, static_argnames=(
+    "n_pieces", "max_hits", "kmer_j", "kmer_full_cover", "locate_slack", "max_cands"
+))
 def pigeonhole_candidates(
     fm: DeviceFMIndex,
     reads: jax.Array,
@@ -106,8 +108,18 @@ def pigeonhole_candidates(
     kmer_tab=None,
     kmer_j: int = 0,
     kmer_full_cover: bool = False,
+    locate_slack: int = 2,
+    max_cands: int | None = None,
 ) -> CandidateResult:
-    """Candidate loci from exact piece matches, deduped and sorted."""
+    """Candidate loci from exact piece matches, deduped and sorted.
+
+    Locate is the gather-dominated stage, so only VALID interval rows walk
+    the LF chain: rows are batch-compacted (stable argsort on validity) and
+    the first ``B * n_pieces * locate_slack`` lanes located; a read whose
+    valid row fell beyond the budget is overflow-flagged, never silently
+    dropped.  ``max_cands`` caps the candidate axis after dedup (sorted
+    ascending, so the slice keeps the smallest loci; > max_cands real
+    candidates also flags overflow)."""
     B, L = reads.shape
     lo, hi, s = piece_interval_search(
         fm, reads, lengths, n_pieces,
@@ -118,9 +130,24 @@ def pigeonhole_candidates(
 
     rows = lo[:, :, None] + jnp.arange(max_hits, dtype=jnp.int32)[None, None, :]
     valid = rows < hi[:, :, None]
-    pos = rank.locate(fm, jnp.clip(rows, 0, fm.n).reshape(-1)).reshape(rows.shape)
-    cand = pos - s[:, :, None]  # candidate read-start locus
-    cand = jnp.where(valid, cand, NO_CAND)
+
+    rows_flat = jnp.clip(rows, 0, fm.n).reshape(-1)
+    valid_flat = valid.reshape(-1)
+    K = B * n_pieces * locate_slack
+    order = jnp.argsort(jnp.logical_not(valid_flat), axis=0, stable=True)
+    sel = order[:K]
+    pos_sel = rank.locate(fm, rows_flat[sel])
+    pos_flat = jnp.zeros_like(rows_flat).at[sel].set(pos_sel)
+    inv_rank = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype)
+    )
+    located = (inv_rank < K).reshape(rows.shape)
+    overflow = overflow | jnp.any(
+        (valid & ~located).reshape(B, -1), axis=1
+    )
+    pos = pos_flat.reshape(rows.shape)
+
+    cand = jnp.where(valid & located, pos - s[:, :, None], NO_CAND)
     cand = cand.reshape(B, n_pieces * max_hits)
 
     cand = jnp.sort(cand, axis=1)
@@ -130,6 +157,10 @@ def pigeonhole_candidates(
     cand = jnp.where(dup, NO_CAND, cand)
     cand = jnp.sort(cand, axis=1)
     n = jnp.sum((cand != NO_CAND).astype(jnp.int32), axis=1)
+    if max_cands is not None and max_cands < cand.shape[1]:
+        overflow = overflow | (n > max_cands)
+        cand = cand[:, :max_cands]
+        n = jnp.minimum(n, max_cands)
     return CandidateResult(cand, n, overflow)
 
 
