@@ -12,6 +12,7 @@ data and ``dump`` debug helpers.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -35,15 +36,26 @@ def _cmd_index(args) -> int:
 
 
 def _cmd_align(args) -> int:
+    import json
+
     from .index.files import load_index
     from .models.pipeline import ExactAligner, SuffixFilterAligner
     from .utils.fasta import iter_reads
-    from .utils.log import StopWatch
+    from .utils.log import StopWatch, profile_to
     from .utils.sam import write_sam
 
     sw = StopWatch()
     gi = load_index(args.index)
     sw.lap(f"loaded index ({gi.genome.n} bp)")
+
+    kmer_kwargs = {}
+    if args.kmer_table:
+        import numpy as _np
+
+        z = _np.load(args.kmer_table)
+        j = int(_np.log2(z["lo"].size) / 2)
+        kmer_kwargs = dict(kmer_table=(z["lo"], z["hi"]), kmer_j=j)
+        sw.lap(f"loaded {j}-mer table")
 
     mode = args.mode
     if mode == "auto":
@@ -56,20 +68,58 @@ def _cmd_align(args) -> int:
             k=args.k,
             max_hits_per_piece=args.max_hits_per_piece,
             use_staircase=(mode == "staircase"),
+            **kmer_kwargs,
         )
 
     reads = list(iter_reads(args.reads))
-    sw.lap(f"loaded {len(reads)} reads")
+    paired = None
+    if args.paired:
+        mates = list(iter_reads(args.paired))
+        assert len(mates) == len(reads), "paired files must have equal read counts"
+        from .models.paired import PairedAligner
+
+        paired = PairedAligner(aligner)
+        sw.lap(f"loaded {len(reads)} pairs")
+    else:
+        sw.lap(f"loaded {len(reads)} reads")
+
+    # resume: skip batches recorded as complete for this output path
+    progress_path = (args.out + ".progress") if args.out != "-" else None
+    start_batch = 0
+    if args.resume and progress_path and os.path.exists(progress_path):
+        start_batch = json.loads(open(progress_path).read()).get("batches_done", 0)
+        sw.lap(f"resuming at batch {start_batch}")
+
     records = []
-    n_mapped = 0
+    n_mapped = n_proper = 0
     t0 = time.time()
-    for i in range(0, len(reads), args.batch_size):
-        batch = reads[i : i + args.batch_size]
-        hits = aligner.align_batch(batch)
-        records.extend(aligner.to_sam(batch, hits))
-        n_mapped += sum(h is not None for h in hits)
+    bs = args.batch_size
+    n_batches = (len(reads) + bs - 1) // bs
+    with profile_to(args.profile):
+        for b in range(start_batch, n_batches):
+            i = b * bs
+            if paired is not None:
+                batch = list(zip(reads[i : i + bs], mates[i : i + bs]))
+                hits = paired.align_pairs(batch)
+                records.extend(paired.to_sam(batch, hits))
+                n_mapped += sum(
+                    (ph.h1 is not None) + (ph.h2 is not None) for ph in hits
+                )
+                n_proper += sum(ph.proper for ph in hits)
+            else:
+                batch = reads[i : i + bs]
+                hits = aligner.align_batch(batch)
+                records.extend(aligner.to_sam(batch, hits))
+                n_mapped += sum(h is not None for h in hits)
+            if progress_path:
+                with open(progress_path, "w") as fh:
+                    fh.write(json.dumps({"batches_done": b + 1}))
     dt = time.time() - t0
-    sw.lap(f"aligned: {n_mapped}/{len(reads)} mapped, {len(reads)/max(dt,1e-9):.0f} reads/s")
+    total = len(reads) * (2 if paired else 1)
+    sw.lap(
+        f"aligned: {n_mapped}/{total} mapped, {total/max(dt,1e-9):.0f} reads/s"
+        + (f", {n_proper} proper pairs" if paired else "")
+    )
 
     hdr = aligner.sam_header()
     if args.out == "-":
@@ -79,6 +129,20 @@ def _cmd_align(args) -> int:
     else:
         write_sam(args.out, hdr, records)
         sw.lap(f"wrote {args.out}")
+    if args.report:
+        report = {
+            "reads": total,
+            "mapped": n_mapped,
+            "proper_pairs": n_proper if paired else None,
+            "reads_per_s": round(total / max(dt, 1e-9), 1),
+            "wall_s": round(dt, 3),
+            "mode": mode,
+            "k": args.k,
+            "batch_size": bs,
+        }
+        with open(args.report, "w") as fh:
+            fh.write(json.dumps(report, indent=1))
+        sw.lap(f"report -> {args.report}")
     return 0
 
 
@@ -139,7 +203,12 @@ def main(argv=None) -> int:
         default="auto",
     )
     pa.add_argument("--batch-size", type=int, default=4096)
-    pa.add_argument("--max-hits-per-piece", type=int, default=16)
+    pa.add_argument("--max-hits-per-piece", type=int, default=8)
+    pa.add_argument("--paired", help="R2 file: align as pairs (reads = R1)")
+    pa.add_argument("--kmer-table", help=".npz with lo/hi arrays (index.kmer)")
+    pa.add_argument("--report", help="write a JSON run report here")
+    pa.add_argument("--resume", action="store_true", help="resume from .progress")
+    pa.add_argument("--profile", help="capture a jax.profiler trace to this dir")
     pa.set_defaults(fn=_cmd_align)
 
     ps = sub.add_parser("simulate", help="simulate reads from a genome")

@@ -53,3 +53,44 @@ def test_cli_roundtrip(tmp_path):
     assert len(mapped) == 50
 
     assert main(["dump", str(idx)]) == 0
+
+
+def test_cli_paired_and_report(tmp_path):
+    import json
+
+    rng = np.random.default_rng(7)
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [Contig("c1", rng.integers(0, 4, size=20000, dtype=np.uint8))])
+    idx = tmp_path / "g.npz"
+    assert main(["index", str(fa), "-o", str(idx), "--sample-rate", "8"]) == 0
+
+    # simulate pairs via the library (CLI simulate is single-end)
+    from genome_weaver_align_tpu.index.files import load_index
+    from genome_weaver_align_tpu.utils import simulate
+    from genome_weaver_align_tpu.utils.fasta import write_fastq
+
+    gi = load_index(idx)
+    pairs = simulate.simulate_pairs(gi.genome.codes, 20, 80, seed=3)
+    write_fastq(tmp_path / "r1.fq", [p.r1.read for p in pairs])
+    write_fastq(tmp_path / "r2.fq", [p.r2.read for p in pairs])
+
+    out = tmp_path / "out.sam"
+    rep = tmp_path / "report.json"
+    assert (
+        main(
+            [
+                "align", str(idx), str(tmp_path / "r1.fq"),
+                "--paired", str(tmp_path / "r2.fq"),
+                "-k", "2", "-o", str(out), "--report", str(rep),
+            ]
+        )
+        == 0
+    )
+    lines = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    assert len(lines) == 40
+    flags = [int(l.split("\t")[1]) for l in lines]
+    assert all(f & 0x1 for f in flags)
+    assert sum(1 for f in flags if f & 0x2) >= 36  # proper pairs
+    r = json.loads(rep.read_text())
+    assert r["mapped"] >= 38 and r["proper_pairs"] >= 18
+    assert (tmp_path / "out.sam.progress").exists()
