@@ -183,8 +183,10 @@ def bench_pipeline(metrics):
     t0 = time.time()
     n_mapped = n_correct = 0
     for b in range(PIPE_BATCHES):
+        tb = time.time()
         batch = reads[b * PIPE_BATCH : (b + 1) * PIPE_BATCH]
         hits = al.align_batch(batch)
+        log(f"batch {b}: {(time.time()-tb)*1e3:.0f} ms, stats={al.last_stats}")
         for s, h in zip(sims[b * PIPE_BATCH : (b + 1) * PIPE_BATCH], hits):
             if h is not None:
                 n_mapped += 1

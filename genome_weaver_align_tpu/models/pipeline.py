@@ -118,6 +118,7 @@ class SuffixFilterAligner:
         use_staircase: bool = False,
         kmer_table=None,  # (lo, hi) numpy arrays from index.kmer, optional
         kmer_j: int = 0,
+        verify_mode: str = "banded",  # banded | myers
     ):
         import jax.numpy as jnp
 
@@ -128,6 +129,7 @@ class SuffixFilterAligner:
         self.fm = rank.from_host(gi.fwd)
         self.text_words = jnp.asarray(gi.fwd.text_words)
         self.use_staircase = use_staircase
+        self.verify_mode = verify_mode
         self.kmer_tab = None
         self.kmer_j = 0
         if kmer_table is not None and kmer_j > 0:
@@ -168,15 +170,28 @@ class SuffixFilterAligner:
                 kmer_full_cover=bool(self.kmer_j and min_piece >= self.kmer_j),
                 max_cands=8,
             )
-        dist, _ = suffix_filter.verify_candidates(
-            self.text_words,
-            self.fm.n,
-            jnp.asarray(verify_reads),
-            jnp.asarray(lengths),
-            cands.cand_pos,
-            self.k,
-            W,
-        )
+        if self.verify_mode == "myers":
+            nwords = (L + 31) // 32
+            dist = suffix_filter.verify_candidates_myers(
+                self.text_words,
+                self.fm.n,
+                jnp.asarray(verify_reads),
+                jnp.asarray(lengths),
+                cands.cand_pos,
+                self.k,
+                W,
+                nwords,
+            )
+        else:
+            dist, _ = suffix_filter.verify_candidates(
+                self.text_words,
+                self.fm.n,
+                jnp.asarray(verify_reads),
+                jnp.asarray(lengths),
+                cands.cand_pos,
+                self.k,
+                W,
+            )
         best = suffix_filter.best_hit(cands.cand_pos, dist, self.k)
         return (
             np.asarray(best.best_pos),
@@ -221,6 +236,7 @@ class SuffixFilterAligner:
         ham, o_min = np.asarray(ham), np.asarray(o_min)
 
         out: list[ApproxHit | None] = []
+        n_slow = 0
         for i in range(len(reads)):
             if not mapped[i]:
                 out.append(None)
@@ -237,6 +253,7 @@ class SuffixFilterAligner:
                 )
                 continue
             # slow path (indels): full host traceback for this read only
+            n_slow += 1
             vcodes = vsel[i]
             win = self.gi.fwd.extract(ws, l + 3 * self.k).astype(np.int64)
             d2, start, _, cigar = dp_ops.traceback_semiglobal_host(
@@ -246,6 +263,7 @@ class SuffixFilterAligner:
             out.append(
                 ApproxHit(pos, int(strand[i]), int(d2), cigar, int(n_good[i]), bool(ovf[i]))
             )
+        self.last_stats = {"n_slow_traceback": n_slow, "n_mapped": int(mapped.sum())}
         return out
 
     def to_sam(self, reads: list[Read], hits) -> list[sam.SamRecord]:

@@ -197,6 +197,31 @@ def verify_candidates(
     return dist, end_b.reshape(B, C)
 
 
+@partial(jax.jit, static_argnames=("k", "window_width", "nwords"))
+def verify_candidates_myers(
+    fm_text_words: jax.Array,
+    n_text,
+    reads: jax.Array,
+    lengths: jax.Array,
+    cand_pos: jax.Array,
+    k: int,
+    window_width: int,
+    nwords: int,
+) -> jax.Array:
+    """Myers bit-parallel verify over the same windows (no band limit)."""
+    from ..ops import myers as myers_ops
+
+    B, C = cand_pos.shape
+    invalid = cand_pos == NO_CAND
+    wins = window.gather_windows(
+        fm_text_words, n_text, jnp.where(invalid, 0, cand_pos - k).reshape(-1), window_width
+    )
+    r = jnp.repeat(reads.astype(jnp.int32), C, axis=0)
+    ln = jnp.repeat(lengths, C)
+    dist = myers_ops.myers_semiglobal(r, ln, wins.astype(jnp.int32), nwords)
+    return jnp.where(invalid, dp_ops.INF, dist.reshape(B, C))
+
+
 @partial(jax.jit, static_argnames=("k",))
 def offset_hamming(
     text_words: jax.Array,
