@@ -30,7 +30,7 @@ CHR20 = 64_444_167
 
 EXACT_BATCH = 131_072
 PIPE_BATCH = 16_384
-PIPE_BATCHES = 2
+PIPE_BATCHES = 4
 KMER_J = 12
 
 
@@ -180,21 +180,22 @@ def bench_pipeline(metrics):
 
     # warmup batch (compile)
     al.align_batch(reads[:PIPE_BATCH])
-    t0 = time.time()
     n_mapped = n_correct = 0
+    batch_times = []
     for b in range(PIPE_BATCHES):
         tb = time.time()
         batch = reads[b * PIPE_BATCH : (b + 1) * PIPE_BATCH]
         hits = al.align_batch(batch)
-        log(f"batch {b}: {(time.time()-tb)*1e3:.0f} ms, stats={al.last_stats}")
+        batch_times.append(time.time() - tb)
+        log(f"batch {b}: {batch_times[-1]*1e3:.0f} ms, stats={al.last_stats}")
         for s, h in zip(sims[b * PIPE_BATCH : (b + 1) * PIPE_BATCH], hits):
             if h is not None:
                 n_mapped += 1
                 if h.pos == s.true_pos and h.strand == s.true_strand:
                     n_correct += 1
-    dt = time.time() - t0
     total = PIPE_BATCH * PIPE_BATCHES
-    rate = total / dt
+    # median per-batch time: robust to tunnel latency spikes
+    rate = PIPE_BATCH / float(np.median(batch_times))
     assert n_mapped >= total * 0.98, f"mapped {n_mapped}/{total}"
     assert n_correct >= total * 0.95, f"correct {n_correct}/{total}"
     metrics["pipeline_k2_100bp_chr20_reads_per_s"] = round(rate, 1)

@@ -205,35 +205,64 @@ class SuffixFilterAligner:
 
         lengths = np.array([len(r) for r in reads], dtype=np.int32)
         verify_fwd = reads_to_batch_verify(reads)
-        search_fwd = np.where(verify_fwd >= 4, 0, verify_fwd).astype(np.int32)
-        verify_rc = revcomp_verify_batch(verify_fwd, lengths)
-        search_rc = np.where(verify_rc >= 4, 0, verify_rc).astype(np.int32)
+        L = verify_fwd.shape[1]
+        uniform = bool(np.all(lengths == L)) and not self.use_staircase
 
-        pf, df, nf, of = self._strand_pass(search_fwd, verify_fwd, lengths)
-        pr, dr, nr, orv = self._strand_pass(search_rc, verify_rc, lengths)
+        if uniform:
+            # fast path: ONE jit call, one int8 upload, device-side RC
+            min_piece = L // self.n_pieces
+            out_dev = fused_align_step(
+                self.fm,
+                self.text_words,
+                self.kmer_tab,
+                jnp.asarray(verify_fwd.astype(np.int8)),
+                jnp.asarray(lengths),
+                k=self.k,
+                n_pieces=self.n_pieces,
+                max_hits=self.max_hits,
+                kmer_j=self.kmer_j,
+                kmer_full_cover=bool(self.kmer_j and min_piece >= self.kmer_j),
+                max_cands=8,
+                W=L + 3 * self.k,
+            )
+            cand, dist, take_r, n_good, ovf, ham, o_min = (
+                np.asarray(x) for x in out_dev
+            )
+            dist = dist.astype(np.int64)
+            cand = cand.astype(np.int64)
+            strand = take_r.astype(np.int64)
+            mapped = dist <= self.k
+            verify_rc = None  # built lazily for slow-path reads only
+        else:
+            search_fwd = np.where(verify_fwd >= 4, 0, verify_fwd).astype(np.int32)
+            verify_rc = revcomp_verify_batch(verify_fwd, lengths)
+            search_rc = np.where(verify_rc >= 4, 0, verify_rc).astype(np.int32)
 
-        # deterministic best across strands: (dist, pos, strand) lexicographic
-        df = np.where(df <= self.k, df, 1 << 20)
-        dr = np.where(dr <= self.k, dr, 1 << 20)
-        take_r = (dr < df) | ((dr == df) & (pr < pf))
-        dist = np.where(take_r, dr, df).astype(np.int64)
-        cand = np.where(take_r, pr, pf).astype(np.int64)
-        strand = take_r.astype(np.int64)
-        mapped = dist <= self.k
-        n_good = (nf + nr).astype(np.int64)
-        ovf = of | orv
+            pf, df, nf, of = self._strand_pass(search_fwd, verify_fwd, lengths)
+            pr, dr, nr, orv = self._strand_pass(search_rc, verify_rc, lengths)
 
-        # fast CIGAR path: pure-substitution alignments need no traceback
-        vsel = np.where(strand[:, None] == 0, verify_fwd, verify_rc)
-        ham, o_min = suffix_filter.offset_hamming(
-            self.text_words,
-            self.fm.n,
-            jnp.asarray(vsel),
-            jnp.asarray(lengths),
-            jnp.asarray(np.where(mapped, cand, 0).astype(np.int32)),
-            self.k,
-        )
-        ham, o_min = np.asarray(ham), np.asarray(o_min)
+            # deterministic best across strands: (dist, pos, strand) order
+            df = np.where(df <= self.k, df, 1 << 20)
+            dr = np.where(dr <= self.k, dr, 1 << 20)
+            take_r = (dr < df) | ((dr == df) & (pr < pf))
+            dist = np.where(take_r, dr, df).astype(np.int64)
+            cand = np.where(take_r, pr, pf).astype(np.int64)
+            strand = take_r.astype(np.int64)
+            mapped = dist <= self.k
+            n_good = (nf + nr).astype(np.int64)
+            ovf = of | orv
+
+            # fast CIGAR path: pure-substitution alignments skip traceback
+            vsel = np.where(strand[:, None] == 0, verify_fwd, verify_rc)
+            ham, o_min = suffix_filter.offset_hamming(
+                self.text_words,
+                self.fm.n,
+                jnp.asarray(vsel),
+                jnp.asarray(lengths),
+                jnp.asarray(np.where(mapped, cand, 0).astype(np.int32)),
+                self.k,
+            )
+            ham, o_min = np.asarray(ham), np.asarray(o_min)
 
         out: list[ApproxHit | None] = []
         n_slow = 0
@@ -254,7 +283,15 @@ class SuffixFilterAligner:
                 continue
             # slow path (indels): full host traceback for this read only
             n_slow += 1
-            vcodes = vsel[i]
+            if verify_rc is None:  # uniform fast path: build RC lazily
+                row = verify_fwd[i]
+                vcodes = (
+                    row
+                    if strand[i] == 0
+                    else dna.revcomp(row.astype(np.uint8)).astype(row.dtype)
+                )
+            else:
+                vcodes = vsel[i]
             win = self.gi.fwd.extract(ws, l + 3 * self.k).astype(np.int64)
             d2, start, _, cigar = dp_ops.traceback_semiglobal_host(
                 vcodes[:l].astype(np.int64), win
@@ -313,3 +350,72 @@ def revcomp_verify_batch(batch: np.ndarray, lengths: np.ndarray) -> np.ndarray:
         l = int(lengths[i])
         out[i, :l] = dna.revcomp(batch[i, :l].astype(np.uint8))
     return out
+
+
+def _fused_align_step_impl(
+    fm, text_words, kmer_tab, verify_fwd, lengths,
+    *, k, n_pieces, max_hits, kmer_j, kmer_full_cover, max_cands, W,
+):
+    """Whole per-batch device step in one jit: both strands, candidate
+    generation, verify, cross-strand best, fast-CIGAR hamming check.
+
+    One int8 upload (verify codes, N=4), small int32 downloads — minimizes
+    host<->device transfers and dispatch round trips on the tunnelled TPU.
+    Uniform-length batches only (device-side reverse complement)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import dp as dp_ops
+
+    INF = dp_ops.INF
+    vf = verify_fwd
+    vrc = jnp.where(vf < 4, 3 - vf, vf)[:, ::-1]
+
+    def strand_pass(vcodes):
+        search = jnp.where(vcodes >= 4, 0, vcodes).astype(jnp.int32)
+        cands = suffix_filter.pigeonhole_candidates(
+            fm, search, lengths, n_pieces, max_hits,
+            kmer_tab=kmer_tab, kmer_j=kmer_j, kmer_full_cover=kmer_full_cover,
+            max_cands=max_cands,
+        )
+        dist, _ = suffix_filter.verify_candidates(
+            text_words, fm.n, vcodes.astype(jnp.int32), lengths,
+            cands.cand_pos, k, W,
+        )
+        best = suffix_filter.best_hit(cands.cand_pos, dist, k)
+        return best, cands.overflow
+
+    bf, ovf_f = strand_pass(vf)
+    br, ovf_r = strand_pass(vrc)
+
+    df = jnp.where(bf.best_dist <= k, bf.best_dist, INF)
+    dr = jnp.where(br.best_dist <= k, br.best_dist, INF)
+    take_r = (dr < df) | ((dr == df) & (br.best_pos < bf.best_pos))
+    dist = jnp.where(take_r, dr, df)
+    cand = jnp.where(take_r, br.best_pos, bf.best_pos)
+    n_good = bf.n_good + br.n_good
+    ovf = ovf_f | ovf_r
+    mapped = dist <= k
+
+    vsel = jnp.where(take_r[:, None], vrc, vf)
+    ham, o_min = suffix_filter.offset_hamming(
+        text_words, fm.n, vsel.astype(jnp.int32), lengths,
+        jnp.where(mapped, cand, 0).astype(jnp.int32), k,
+    )
+    return cand, dist, take_r, n_good, ovf, ham, o_min
+
+
+_fused_cache: dict = {}
+
+
+def fused_align_step(fm, text_words, kmer_tab, verify_fwd, lengths, **static):
+    """jit-cached wrapper (static config in the cache key)."""
+    import jax
+    from functools import partial
+
+    key = tuple(sorted(static.items())) + (kmer_tab is not None,)
+    if key not in _fused_cache:
+        _fused_cache[key] = jax.jit(
+            partial(_fused_align_step_impl, **static)
+        )
+    return _fused_cache[key](fm, text_words, kmer_tab, verify_fwd, lengths)

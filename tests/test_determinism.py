@@ -47,3 +47,14 @@ def test_verify_mode_invariance(setup):
     banded = sam_lines(SuffixFilterAligner(gi, k=2), reads, 64)
     myers = sam_lines(SuffixFilterAligner(gi, k=2, verify_mode="myers"), reads, 64)
     assert banded == myers
+
+
+def test_mixed_length_batch(setup):
+    """Non-uniform lengths take the two-pass path; hits must still be found."""
+    from genome_weaver_align_tpu.utils.fasta import Read
+
+    gi, reads = setup
+    mixed = [Read(r.name, r.codes[: 80 + (i % 3) * 7]) for i, r in enumerate(reads)]
+    al = SuffixFilterAligner(gi, k=2)
+    hits = al.align_batch(mixed)
+    assert sum(h is not None for h in hits) >= 58
