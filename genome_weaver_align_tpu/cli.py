@@ -20,7 +20,8 @@ import numpy as np
 
 
 def _cmd_index(args) -> int:
-    from .index.files import Genome, build_genome_index, save_index
+    from .index.build import build_fm_index
+    from .index.files import Genome, GenomeIndex, save_index
     from .utils.fasta import read_fasta
     from .utils.log import StopWatch
 
@@ -28,10 +29,37 @@ def _cmd_index(args) -> int:
     contigs = read_fasta(args.genome)
     genome = Genome.from_contigs(contigs)
     sw.lap(f"loaded {len(contigs)} contig(s), {genome.n} bp")
-    gi = build_genome_index(genome, sample_rate=args.sample_rate)
-    sw.lap("built forward+reverse FM indexes")
+
+    def sa_for(codes):
+        if args.builder == "numpy":
+            from .index.sais import suffix_array
+
+            return suffix_array(codes)
+        if args.builder == "native":
+            from .index.native import suffix_array_native
+
+            return suffix_array_native(codes)
+        if args.builder == "device":
+            from .index.device_build import suffix_array_device
+
+            return suffix_array_device(codes)
+        return None  # auto: build_fm_index picks native-else-numpy
+
+    fwd = build_fm_index(genome.codes, sample_rate=args.sample_rate, sa=sa_for(genome.codes))
+    rcodes = genome.codes[::-1].copy()
+    rev = build_fm_index(rcodes, sample_rate=args.sample_rate, sa=sa_for(rcodes))
+    gi = GenomeIndex(genome, fwd, rev)
+    sw.lap(f"built forward+reverse FM indexes (builder={args.builder})")
     save_index(args.out, gi)
     sw.lap(f"saved {args.out}")
+    if args.kmer:
+        import numpy as _np
+
+        from .index.kmer import build_kmer_table
+
+        lo, hi = build_kmer_table(fwd, args.kmer)
+        _np.savez(args.out + f".kmer{args.kmer}.npz", lo=lo, hi=hi)
+        sw.lap(f"built {args.kmer}-mer table -> {args.out}.kmer{args.kmer}.npz")
     return 0
 
 
@@ -189,7 +217,11 @@ def main(argv=None) -> int:
     pi = sub.add_parser("index", help="build FM index from FASTA (reference: BWTransform)")
     pi.add_argument("genome")
     pi.add_argument("-o", "--out", required=True)
-    pi.add_argument("--sample-rate", type=int, default=32)
+    pi.add_argument("--sample-rate", type=int, default=8)
+    pi.add_argument(
+        "--builder", choices=["auto", "numpy", "native", "device"], default="auto"
+    )
+    pi.add_argument("--kmer", type=int, default=0, help="also build a j-mer table")
     pi.set_defaults(fn=_cmd_index)
 
     pa = sub.add_parser("align", help="align reads to an index")
