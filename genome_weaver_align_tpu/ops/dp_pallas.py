@@ -53,8 +53,12 @@ def _kernel(reads_ref, len_ref, win_ref, dist_ref, endb_ref, *, L, W, k, band):
 
     j_end = lengths[None, :] + boff
     Df = jnp.where((j_end >= 0) & (j_end <= W), D, INF)
-    dist_ref[0, :] = jnp.min(Df, axis=0)
-    endb_ref[0, :] = jnp.argmin(Df, axis=0).astype(jnp.int32)
+    # Mosaic lacks integer argmin: fold the band slot into a composite key
+    # (dist * band + b fits int32 comfortably; INF = 2^20, band <= 17)
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (band, LANES), 0)
+    key = jnp.min(Df * band + b_idx, axis=0)
+    dist_ref[0, :] = key // band
+    endb_ref[0, :] = key % band
 
 
 @partial(jax.jit, static_argnames=("k", "interpret"))
