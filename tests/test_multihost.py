@@ -1,0 +1,38 @@
+"""Multi-host scaffolding, single-process degenerate path (SURVEY.md §5.8):
+global batch formation, host gather, deterministic batch streaming."""
+
+import numpy as np
+import jax
+
+from genome_weaver_align_tpu.parallel import mesh as pmesh
+from genome_weaver_align_tpu.parallel import multihost as mh
+
+
+def test_initialize_noop_single_process():
+    mh.initialize_distributed(num_processes=1)  # must not raise
+    info = mh.host_shard_info(64)
+    assert info.process_count == 1
+    assert info.host_batch == 64 and info.host_start == 0
+
+
+def test_make_global_batch_and_gather():
+    m = pmesh.make_mesh(n_data=4, n_interval=2)
+    reads = np.arange(8 * 20, dtype=np.int32).reshape(8, 20)
+    lengths = np.full(8, 20, np.int32)
+    r, l = mh.make_global_batch(m, reads, lengths)
+    assert r.shape == (8, 20)
+    # data-sharded over the mesh
+    assert len(r.sharding.device_set) == 8
+    back = mh.gather_to_host([r, l])
+    assert np.array_equal(back[0], reads)
+    assert np.array_equal(back[1], lengths)
+
+
+def test_stream_batches_deterministic():
+    reads = list(range(25))
+    batches = list(mh.stream_batches(reads, 8))
+    assert [b[0] for b in batches] == [0, 8, 16, 24]
+    assert batches[-1][1] == [24]
+    # resume from batch index 2: identical remaining stream
+    again = list(mh.stream_batches(reads, 8))[2:]
+    assert again == batches[2:]
