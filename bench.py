@@ -29,8 +29,8 @@ E_COLI = 4_641_652
 CHR20 = 64_444_167
 
 EXACT_BATCH = 131_072
-PIPE_BATCH = 16_384
-PIPE_BATCHES = 6
+PIPE_BATCH = 32_768
+PIPE_BATCHES = 4
 KMER_J = 12
 
 
