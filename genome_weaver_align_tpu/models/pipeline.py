@@ -328,6 +328,7 @@ class SuffixFilterAligner:
                     edit_distance=h.dist,
                     mapq=37 if h.n_good == 1 else (3 if h.n_good > 1 else 0),
                     qual=r.qual,
+                    n_hits=h.n_good,
                 )
             )
         return recs

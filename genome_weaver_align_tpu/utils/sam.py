@@ -64,6 +64,23 @@ def unmapped(read_name: str, codes: np.ndarray, qual=None) -> SamRecord:
     )
 
 
+def alignment_score(cigar: str, edit_distance: int, match=1, mismatch=4, gap_open=6, gap_ext=1) -> int:
+    """BWA-style score from CIGAR + NM: indel bases come from I/D ops,
+    mismatches are the remainder of NM (reference #12 produced scores)."""
+    import re as _re
+
+    ops = _re.findall(r"(\d+)([MIDSH])", cigar)
+    m_bases = sum(int(c) for c, op in ops if op == "M")
+    gaps = [(int(c)) for c, op in ops if op in "ID"]
+    indel_bases = sum(gaps)
+    mismatches = max(0, edit_distance - indel_bases)
+    return (
+        match * (m_bases - mismatches)
+        - mismatch * mismatches
+        - sum(gap_open + gap_ext * (g - 1) for g in gaps)
+    )
+
+
 def mapped(
     read_name: str,
     codes: np.ndarray,
@@ -74,11 +91,18 @@ def mapped(
     edit_distance: int,
     mapq: int = 37,
     qual=None,
+    n_hits: int | None = None,
 ) -> SamRecord:
     seq_codes = dna.revcomp(codes) if strand else codes
     q = _qual_str(qual, codes.size)
     if strand:
         q = q[::-1]
+    tags = [
+        ("NM", "i", str(edit_distance)),
+        ("AS", "i", str(alignment_score(cigar, edit_distance))),
+    ]
+    if n_hits is not None:
+        tags.append(("X0", "i", str(n_hits)))
     return SamRecord(
         qname=read_name,
         flag=FLAG_REVERSE if strand else 0,
@@ -88,7 +112,7 @@ def mapped(
         cigar=cigar,
         seq=dna.decode(seq_codes),
         qual=q,
-        tags=(("NM", "i", str(edit_distance)),),
+        tags=tuple(tags),
     )
 
 
