@@ -90,6 +90,10 @@ def _cmd_align(args) -> int:
         mode = "exact" if args.k == 0 else "pigeonhole"
     if mode == "exact":
         aligner = ExactAligner(gi)
+    elif mode == "onemm":
+        from .models.one_mismatch import OneMismatchAligner
+
+        aligner = OneMismatchAligner(gi)
     else:
         aligner = SuffixFilterAligner(
             gi,
@@ -231,7 +235,7 @@ def main(argv=None) -> int:
     pa.add_argument("-k", type=int, default=2, help="max edit distance")
     pa.add_argument(
         "--mode",
-        choices=["auto", "exact", "pigeonhole", "staircase"],
+        choices=["auto", "exact", "onemm", "pigeonhole", "staircase"],
         default="auto",
     )
     pa.add_argument("--batch-size", type=int, default=4096)

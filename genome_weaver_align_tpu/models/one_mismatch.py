@@ -158,3 +158,83 @@ def one_mismatch_candidates(
         [stA.spine.hi[:, None], stA.br.hi, stB.br.hi], axis=1
     )
     return cand_lo, cand_hi, stA.overflow | stB.overflow
+
+
+class OneMismatchAligner:
+    """Acceptance config 2 as a first-class aligner: bidirectional k=1
+    search scheme -> candidate intervals -> locate -> SAM.  FM-space
+    branches guarantee <=1 substitution, so no DP verify is needed; the
+    mismatch count for NM is a direct text comparison at the located position."""
+
+    def __init__(self, gi, max_hits: int = 8):
+        import jax.numpy as jnp
+
+        from . import bidirectional as bd
+        from ..ops import rank
+
+        self.gi = gi
+        self.bi = bd.from_host_bi(gi.fwd, gi.rev)
+        self.fm = rank.from_host(gi.fwd)
+        self.text_words = jnp.asarray(gi.fwd.text_words)
+        self.max_hits = max_hits
+
+    def _strand(self, search, lengths):
+        import jax.numpy as jnp
+
+        from . import exact as exact_mod
+
+        cand_lo, cand_hi, ovf = one_mismatch_candidates(
+            self.bi, jnp.asarray(search), jnp.asarray(lengths)
+        )
+        B, C = cand_lo.shape
+        pos, valid = exact_mod.locate_hits(
+            self.fm, cand_lo.reshape(-1), cand_hi.reshape(-1), 2
+        )
+        pos = jnp.where(valid, pos, jnp.int32(2**30)).reshape(B, C * 2)
+        best = jnp.min(pos, axis=1)  # deterministic: smallest locus
+        import numpy as np
+
+        return np.asarray(best), np.asarray(ovf)
+
+    def align_batch(self, reads):
+        import numpy as np
+
+        from .pipeline import ApproxHit, reads_to_batch_verify, revcomp_verify_batch
+
+        lengths = np.array([len(r) for r in reads], dtype=np.int32)
+        vf = reads_to_batch_verify(reads)
+        sfwd = np.where(vf >= 4, 0, vf).astype(np.int32)
+        vrc = revcomp_verify_batch(vf, lengths)
+        src = np.where(vrc >= 4, 0, vrc).astype(np.int32)
+
+        bf, of = self._strand(sfwd, lengths)
+        br, orr = self._strand(src, lengths)
+        take_r = br < bf
+        pos = np.where(take_r, br, bf).astype(np.int64)
+        strand = take_r.astype(np.int64)
+        mapped = pos < 2**30
+
+        vsel = np.where(strand[:, None] == 0, vf, vrc)
+        out = []
+        for i in range(len(reads)):
+            if not mapped[i]:
+                out.append(None)
+                continue
+            l = int(lengths[i])
+            codes = vsel[i, :l]
+            win = self.gi.fwd.extract(int(pos[i]), l).astype(np.int64)
+            mm = int((codes[: win.size] != win).sum() + (l - win.size))
+            out.append(
+                ApproxHit(int(pos[i]), int(strand[i]), mm, f"{l}M", 1, bool(of[i] or orr[i]))
+            )
+        return out
+
+    def to_sam(self, reads, hits):
+        from .pipeline import SuffixFilterAligner
+
+        return SuffixFilterAligner.to_sam(self, reads, hits)
+
+    def sam_header(self):
+        from ..utils import sam as sam_mod
+
+        return sam_mod.header(self.gi.genome.names, self.gi.genome.lengths)

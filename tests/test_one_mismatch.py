@@ -89,3 +89,32 @@ def test_one_mismatch_variable_lengths(setup):
         l = int(lengths[i])
         want = set(brute_hits(codes, reads[i, :l]).keys())
         assert got[i] == want, f"read {i} len={l}"
+
+
+def test_one_mismatch_aligner_end_to_end():
+    from genome_weaver_align_tpu.index.files import Genome, build_genome_index
+    from genome_weaver_align_tpu.models.one_mismatch import OneMismatchAligner
+    from genome_weaver_align_tpu.utils import simulate
+    from genome_weaver_align_tpu.utils.fasta import Contig
+
+    rng = np.random.default_rng(19)
+    gi = build_genome_index(
+        Genome.from_contigs(
+            [Contig("c", rng.integers(0, 4, size=40000, dtype=np.uint8))]
+        ),
+        sample_rate=16,
+    )
+    sims = simulate.simulate_reads(
+        gi.genome.codes, 30, 100, seed=4, sub_rate=0.005, max_subs=1
+    )
+    al = OneMismatchAligner(gi)
+    hits = al.align_batch([s.read for s in sims])
+    for s, h in zip(sims, hits):
+        assert h is not None, s.read.name
+        assert h.dist == s.n_sub
+        # best = smallest locus; unique reads must land on the true one
+        assert h.pos == s.true_pos or h.dist == 0
+        if h.pos == s.true_pos:
+            assert h.strand == s.true_strand
+    recs = al.to_sam([s.read for s in sims], hits)
+    assert len(recs) == 30 and all(not (r.flag & 0x4) for r in recs)
