@@ -1,1 +1,1 @@
-from . import sais, build, files  # noqa: F401
+from . import build, device_build, files, kmer, multi, native, sais, wavelet  # noqa: F401

@@ -1,1 +1,1 @@
-from . import exact  # noqa: F401
+from . import bidirectional, exact, one_mismatch, paired, pipeline, staircase, suffix_filter  # noqa: F401

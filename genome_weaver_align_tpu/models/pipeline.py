@@ -135,7 +135,6 @@ class SuffixFilterAligner:
         if kmer_table is not None and kmer_j > 0:
             self.kmer_tab = (jnp.asarray(kmer_table[0]), jnp.asarray(kmer_table[1]))
             self.kmer_j = kmer_j
-        self._rev_fm = None
         if use_staircase:
             from . import bidirectional as bd
 

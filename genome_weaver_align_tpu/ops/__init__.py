@@ -1,1 +1,1 @@
-from . import rank  # noqa: F401
+from . import dp, dp_pallas, myers, rank, window  # noqa: F401

@@ -1,1 +1,1 @@
-from . import mesh  # noqa: F401
+from . import mesh, multihost, sharded_index, sharded_pipeline  # noqa: F401

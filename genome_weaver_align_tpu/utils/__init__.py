@@ -1,1 +1,1 @@
-from . import dna, packing, bitvector, larray, fasta, sam, simulate
+from . import bitvector, config, dna, fasta, larray, log, packing, sam, simulate  # noqa: F401
