@@ -88,7 +88,11 @@ def _cmd_align(args) -> int:
     mode = args.mode
     if mode == "auto":
         mode = "exact" if args.k == 0 else "pigeonhole"
-    if mode == "exact":
+    if args.n_interval > 1:
+        from .parallel.sharded_pipeline import ShardedAligner
+
+        aligner = ShardedAligner(gi, k=args.k, n_interval=args.n_interval)
+    elif mode == "exact":
         aligner = ExactAligner(gi)
     elif mode == "onemm":
         from .models.one_mismatch import OneMismatchAligner
@@ -245,6 +249,12 @@ def main(argv=None) -> int:
     pa.add_argument("--report", help="write a JSON run report here")
     pa.add_argument("--resume", action="store_true", help="resume from .progress")
     pa.add_argument("--profile", help="capture a jax.profiler trace to this dir")
+    pa.add_argument(
+        "--n-interval",
+        type=int,
+        default=1,
+        help="interval-shard the index across this many devices (config 5)",
+    )
     pa.set_defaults(fn=_cmd_align)
 
     ps = sub.add_parser("simulate", help="simulate reads from a genome")

@@ -199,3 +199,135 @@ def make_sharded_pigeonhole_align(
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+class ShardedAligner:
+    """SuffixFilterAligner-compatible facade over the sharded pipeline.
+
+    Builds a (data x interval) mesh over the available devices, interval-
+    shards the index + text, and runs the collective pipeline per batch.
+    CIGARs come from the same fast-hamming / host-traceback split as the
+    single-device aligner (host keeps the full genome for windows).
+    """
+
+    def __init__(self, gi, k: int = 2, n_interval: int = 2, max_hits: int = 8, devices=None):
+        import jax.numpy as jnp
+
+        from . import mesh as pmesh
+
+        self.gi = gi
+        self.k = k
+        self.mesh = pmesh.make_mesh(n_interval=n_interval, devices=devices)
+        self.sh = si.put_sharded(
+            si.shard_fm_index(gi.fwd, n_interval), self.mesh, pmesh.INTERVAL_AXIS
+        )
+        self.tx = put_text(
+            shard_text(gi.fwd.text_words, gi.fwd.n, n_interval),
+            self.mesh,
+            pmesh.INTERVAL_AXIS,
+        )
+        self.max_hits = max_hits
+        self._fns = {}
+        self._pmesh = pmesh
+        self._text_jnp = jnp.asarray(gi.fwd.text_words)
+
+    def _fn(self, L):
+        if L not in self._fns:
+            self._fns[L] = make_sharded_pigeonhole_align(
+                self.mesh,
+                self._pmesh.INTERVAL_AXIS,
+                self._pmesh.DATA_AXIS,
+                like_index=self.sh,
+                like_text=self.tx,
+                max_len=L,
+                k=self.k,
+                max_hits=self.max_hits,
+            )
+        return self._fns[L]
+
+    def align_batch(self, reads):
+        from ..models.pipeline import (
+            ApproxHit,
+            reads_to_batch_verify,
+            revcomp_verify_batch,
+        )
+        from ..ops import dp as dp_ops
+
+        lengths = np.array([len(r) for r in reads], dtype=np.int32)
+        vf = reads_to_batch_verify(reads)
+        vrc = revcomp_verify_batch(vf, lengths)
+        L = vf.shape[1]
+        fn = self._fn(L)
+
+        res = []
+        for batch in (np.where(vf >= 4, 0, vf), np.where(vrc >= 4, 0, vrc)):
+            r, l, B = self._pmesh.shard_reads(self.mesh, batch.astype(np.int32), lengths)
+            bp, bd, ng, ovf = fn(self.sh, self.tx, r, l)
+            res.append(
+                tuple(np.asarray(x)[: len(reads)] for x in (bp, bd, ng, ovf))
+            )
+        (pf, df, nf, of), (pr, dr, nr, orr) = res
+        df = np.where(df <= self.k, df, 1 << 20)
+        dr = np.where(dr <= self.k, dr, 1 << 20)
+        take_r = (dr < df) | ((dr == df) & (pr < pf))
+        dist = np.where(take_r, dr, df).astype(np.int64)
+        cand = np.where(take_r, pr, pf).astype(np.int64)
+        strand = take_r.astype(np.int64)
+        mapped = dist <= self.k
+
+        # same fast-hamming CIGAR split as the single-device aligner, so the
+        # SAM bytes are identical whatever the mesh
+        import jax.numpy as jnp
+
+        from ..models import suffix_filter as sf_mod
+
+        vsel = np.where(strand[:, None] == 0, vf, vrc)
+        ham, o_min = sf_mod.offset_hamming(
+            self._text_jnp,
+            self.gi.fwd.n,
+            jnp.asarray(vsel),
+            jnp.asarray(lengths),
+            jnp.asarray(np.where(mapped, cand, 0).astype(np.int32)),
+            self.k,
+        )
+        ham, o_min = np.asarray(ham), np.asarray(o_min)
+
+        out = []
+        for i in range(len(reads)):
+            if not mapped[i]:
+                out.append(None)
+                continue
+            l = int(lengths[i])
+            ws = int(cand[i]) - self.k
+            if ham[i] == dist[i]:
+                out.append(
+                    ApproxHit(
+                        ws + int(o_min[i]), int(strand[i]), int(dist[i]),
+                        f"{l}M", int(nf[i] + nr[i]), bool(of[i] or orr[i]),
+                    )
+                )
+                continue
+            codes = vsel[i, :l].astype(np.int64)
+            win = self.gi.fwd.extract(ws, l + 3 * self.k).astype(np.int64)
+            d2, start, _, cigar = dp_ops.traceback_semiglobal_host(codes, win)
+            out.append(
+                ApproxHit(
+                    max(0, ws) + start,
+                    int(strand[i]),
+                    int(d2),
+                    cigar,
+                    int(nf[i] + nr[i]),
+                    bool(of[i] or orr[i]),
+                )
+            )
+        return out
+
+    def to_sam(self, reads, hits):
+        from ..models.pipeline import SuffixFilterAligner
+
+        return SuffixFilterAligner.to_sam(self, reads, hits)
+
+    def sam_header(self):
+        from ..utils import sam as sam_mod
+
+        return sam_mod.header(self.gi.genome.names, self.gi.genome.lengths)

@@ -94,3 +94,25 @@ def test_cli_paired_and_report(tmp_path):
     r = json.loads(rep.read_text())
     assert r["mapped"] >= 38 and r["proper_pairs"] >= 18
     assert (tmp_path / "out.sam.progress").exists()
+
+
+def test_cli_sharded_align(tmp_path):
+    rng = np.random.default_rng(12)
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [Contig("c1", rng.integers(0, 4, size=15000, dtype=np.uint8))])
+    idx = tmp_path / "g.npz"
+    assert main(["index", str(fa), "-o", str(idx)]) == 0
+    reads = tmp_path / "r.fq"
+    assert main([
+        "simulate", str(fa), "-o", str(reads), "-n", "30", "-l", "80",
+        "--sub-rate", "0.02", "--max-subs", "2",
+    ]) == 0
+    out1 = tmp_path / "single.sam"
+    out2 = tmp_path / "sharded.sam"
+    assert main(["align", str(idx), str(reads), "-k", "2", "-o", str(out1)]) == 0
+    assert main([
+        "align", str(idx), str(reads), "-k", "2", "-o", str(out2),
+        "--n-interval", "4",
+    ]) == 0
+    # byte-identical output whatever the mesh (minus nothing: same header)
+    assert out1.read_text() == out2.read_text()

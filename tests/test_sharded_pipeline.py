@@ -65,3 +65,29 @@ def test_sharded_pipeline_matches_single(n_data, n_interval):
     assert np.array_equal(bp, np.asarray(best.best_pos))
     assert np.array_equal(bd, np.asarray(best.best_dist))
     assert np.array_equal(ng, np.asarray(best.n_good))
+
+
+def test_sharded_aligner_matches_single_device():
+    from genome_weaver_align_tpu.index.files import Genome, build_genome_index
+    from genome_weaver_align_tpu.models.pipeline import SuffixFilterAligner
+    from genome_weaver_align_tpu.parallel.sharded_pipeline import ShardedAligner
+    from genome_weaver_align_tpu.utils import simulate
+    from genome_weaver_align_tpu.utils.fasta import Contig
+
+    rng = np.random.default_rng(31)
+    gi = build_genome_index(
+        Genome.from_contigs(
+            [Contig("cS", rng.integers(0, 4, size=30000, dtype=np.uint8))]
+        ),
+        sample_rate=16,
+    )
+    sims = simulate.simulate_reads(
+        gi.genome.codes, 32, 80, seed=4, sub_rate=0.02, max_subs=2
+    )
+    reads = [s.read for s in sims]
+    single = SuffixFilterAligner(gi, k=2).align_batch(reads)
+    sharded = ShardedAligner(gi, k=2, n_interval=4).align_batch(reads)
+    for a, b in zip(single, sharded):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert (a.pos, a.strand, a.dist, a.cigar) == (b.pos, b.strand, b.dist, b.cigar)
