@@ -224,9 +224,9 @@ class SuffixFilterAligner:
                 max_cands=8,
                 W=L + 3 * self.k,
             )
-            cand, dist, take_r, n_good, ovf, ham, o_min = (
-                np.asarray(x) for x in out_dev
-            )
+            packed = np.asarray(out_dev)
+            cand, dist, take_r, n_good, ovf, ham, o_min = packed
+            ovf = ovf.astype(bool)
             dist = dist.astype(np.int64)
             cand = cand.astype(np.int64)
             strand = take_r.astype(np.int64)
@@ -378,26 +378,25 @@ def _fused_align_step_impl(
     vf = verify_fwd
     vrc = jnp.where(vf < 4, 3 - vf, vf)[:, ::-1]
 
-    # BOTH strands as one stacked 2B-lane pass: the search/locate chains are
-    # sequential-latency bound, so doubling lane width instead of running two
-    # passes back-to-back halves the dependent-step count per batch
-    B = vf.shape[0]
-    v2 = jnp.concatenate([vf, vrc], axis=0)
-    l2 = jnp.concatenate([lengths, lengths], axis=0)
-    search = jnp.where(v2 >= 4, 0, v2).astype(jnp.int32)
-    cands = suffix_filter.pigeonhole_candidates(
-        fm, search, l2, n_pieces, max_hits,
-        kmer_tab=kmer_tab, kmer_j=kmer_j, kmer_full_cover=kmer_full_cover,
-        max_cands=max_cands,
-    )
-    dist2, _ = suffix_filter.verify_candidates(
-        text_words, fm.n, v2.astype(jnp.int32), l2, cands.cand_pos, k, W,
-    )
-    best = suffix_filter.best_hit(cands.cand_pos, dist2, k)
+    # two sequential strand passes: A/B-measured on hardware, the device is
+    # already throughput-bound at 32k lanes, so stacking to 2B lanes buys no
+    # latency and costs ~7% in the wider sorts
+    def strand_pass(vcodes):
+        search = jnp.where(vcodes >= 4, 0, vcodes).astype(jnp.int32)
+        cands = suffix_filter.pigeonhole_candidates(
+            fm, search, lengths, n_pieces, max_hits,
+            kmer_tab=kmer_tab, kmer_j=kmer_j, kmer_full_cover=kmer_full_cover,
+            max_cands=max_cands,
+        )
+        dist, _ = suffix_filter.verify_candidates(
+            text_words, fm.n, vcodes.astype(jnp.int32), lengths,
+            cands.cand_pos, k, W,
+        )
+        best = suffix_filter.best_hit(cands.cand_pos, dist, k)
+        return best, cands.overflow
 
-    bf = suffix_filter.VerifyResult(*[x[:B] for x in best])
-    br = suffix_filter.VerifyResult(*[x[B:] for x in best])
-    ovf_f, ovf_r = cands.overflow[:B], cands.overflow[B:]
+    bf, ovf_f = strand_pass(vf)
+    br, ovf_r = strand_pass(vrc)
 
     df = jnp.where(bf.best_dist <= k, bf.best_dist, INF)
     dr = jnp.where(br.best_dist <= k, br.best_dist, INF)
@@ -413,7 +412,19 @@ def _fused_align_step_impl(
         text_words, fm.n, vsel.astype(jnp.int32), lengths,
         jnp.where(mapped, cand, 0).astype(jnp.int32), k,
     )
-    return cand, dist, take_r, n_good, ovf, ham, o_min
+    # ONE packed download: the tunnelled TPU pays a round trip per fetched
+    # array, so 7 small arrays cost more transfer latency than one (7, B)
+    return jnp.stack(
+        [
+            cand,
+            dist,
+            take_r.astype(jnp.int32),
+            n_good,
+            ovf.astype(jnp.int32),
+            ham,
+            o_min,
+        ]
+    )
 
 
 _fused_cache: dict = {}
