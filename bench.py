@@ -182,10 +182,18 @@ def bench_pipeline(metrics):
     al.align_batch(reads[:PIPE_BATCH])
     n_mapped = n_correct = 0
     batch_times = []
+    # pipelined: submit batch b+1 before finishing batch b (host assembly
+    # overlaps device compute; jax dispatch is async)
+    pending = al.align_batch_submit(reads[:PIPE_BATCH])
     for b in range(PIPE_BATCHES):
         tb = time.time()
-        batch = reads[b * PIPE_BATCH : (b + 1) * PIPE_BATCH]
-        hits = al.align_batch(batch)
+        nxt = None
+        if b + 1 < PIPE_BATCHES:
+            nxt = al.align_batch_submit(
+                reads[(b + 1) * PIPE_BATCH : (b + 2) * PIPE_BATCH]
+            )
+        hits = al.align_batch_finish(pending)
+        pending = nxt
         batch_times.append(time.time() - tb)
         log(f"batch {b}: {batch_times[-1]*1e3:.0f} ms, stats={al.last_stats}")
         for s, h in zip(sims[b * PIPE_BATCH : (b + 1) * PIPE_BATCH], hits):

@@ -144,12 +144,28 @@ def _cmd_align(args) -> int:
                 n_proper += sum(ph.proper for ph in hits)
             else:
                 batch = reads[i : i + bs]
-                hits = aligner.align_batch(batch)
+                if hasattr(aligner, "align_batch_submit"):
+                    # pipelined: overlap host assembly with device compute
+                    if not hasattr(aligner, "_pending"):
+                        aligner._pending = (batch, aligner.align_batch_submit(batch))
+                        continue
+                    pbatch, ph = aligner._pending
+                    aligner._pending = (batch, aligner.align_batch_submit(batch))
+                    hits = aligner.align_batch_finish(ph)
+                    batch = pbatch
+                else:
+                    hits = aligner.align_batch(batch)
                 records.extend(aligner.to_sam(batch, hits))
                 n_mapped += sum(h is not None for h in hits)
             if progress_path:
                 with open(progress_path, "w") as fh:
                     fh.write(json.dumps({"batches_done": b + 1}))
+    if not paired and hasattr(aligner, "_pending"):
+        pbatch, ph = aligner._pending
+        del aligner._pending
+        hits = aligner.align_batch_finish(ph)
+        records.extend(aligner.to_sam(pbatch, hits))
+        n_mapped += sum(h is not None for h in hits)
     dt = time.time() - t0
     total = len(reads) * (2 if paired else 1)
     sw.lap(

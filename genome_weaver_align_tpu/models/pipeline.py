@@ -200,6 +200,16 @@ class SuffixFilterAligner:
         )
 
     def align_batch(self, reads: list[Read]) -> list[ApproxHit | None]:
+        """Submit + finish in one call (see align_batch_submit for the
+        pipelined two-phase API used by streaming drivers)."""
+        return self.align_batch_finish(self.align_batch_submit(reads))
+
+    def align_batch_submit(self, reads: list[Read]):
+        """Enqueue the device work for a batch and return a handle.
+
+        jax dispatch is asynchronous: the fused step is enqueued without
+        blocking, so a driver can submit batch N+1 before finishing batch N
+        and overlap host assembly with device compute."""
         import jax.numpy as jnp
 
         lengths = np.array([len(r) for r in reads], dtype=np.int32)
@@ -224,7 +234,14 @@ class SuffixFilterAligner:
                 max_cands=8,
                 W=L + 3 * self.k,
             )
-            packed = np.asarray(out_dev)
+            return ("uniform", reads, lengths, verify_fwd, out_dev)
+        return ("general", reads, lengths, verify_fwd)
+
+    def align_batch_finish(self, handle) -> list[ApproxHit | None]:
+        kind = handle[0]
+        if kind == "uniform":
+            _, reads, lengths, verify_fwd, out_dev = handle
+            packed = np.asarray(out_dev)  # blocks here, not at submit
             cand, dist, take_r, n_good, ovf, ham, o_min = packed
             ovf = ovf.astype(bool)
             dist = dist.astype(np.int64)
@@ -233,6 +250,9 @@ class SuffixFilterAligner:
             mapped = dist <= self.k
             verify_rc = None  # built lazily for slow-path reads only
         else:
+            import jax.numpy as jnp
+
+            _, reads, lengths, verify_fwd = handle
             search_fwd = np.where(verify_fwd >= 4, 0, verify_fwd).astype(np.int32)
             verify_rc = revcomp_verify_batch(verify_fwd, lengths)
             search_rc = np.where(verify_rc >= 4, 0, verify_rc).astype(np.int32)
