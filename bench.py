@@ -151,12 +151,29 @@ def bench_exact(metrics):
     log(f"exact 36bp: {EXACT_BATCH/dt:,.0f} reads/s ({n_mapped} fwd-mapped)")
 
 
+def sim_sub_reads(codes, n_reads, read_len, seed, max_subs=2):
+    """Vectorised read simulator (substitutions + strand), bench-scale."""
+    rng = np.random.default_rng(seed)
+    pos = rng.integers(0, codes.size - read_len, size=n_reads)
+    reads = codes[pos[:, None] + np.arange(read_len)[None, :]].astype(np.uint8)
+    n_sub = rng.integers(0, max_subs + 1, size=n_reads)
+    for srow in range(1, max_subs + 1):
+        sel = n_sub >= srow
+        at = rng.integers(0, read_len, size=n_reads)
+        delta = rng.integers(1, 4, size=n_reads).astype(np.uint8)
+        rows = np.nonzero(sel)[0]
+        reads[rows, at[rows]] = (reads[rows, at[rows]] + delta[rows]) % 4
+    strand = rng.integers(0, 2, size=n_reads)
+    rc = (3 - reads)[:, ::-1]
+    reads = np.where(strand[:, None] == 1, rc, reads)
+    return reads, pos, strand
+
+
 def bench_pipeline(metrics):
     import jax
 
     from genome_weaver_align_tpu.index.files import Genome, GenomeIndex
     from genome_weaver_align_tpu.models.pipeline import SuffixFilterAligner
-    from genome_weaver_align_tpu.utils import simulate
     from genome_weaver_align_tpu.utils.fasta import Read
 
     codes, fm = build_or_load_index(CHR20, tag="chr20_r8", sample_rate=8)
@@ -173,10 +190,10 @@ def bench_pipeline(metrics):
     )
 
     log("simulating pipeline reads...")
-    sims = simulate.simulate_reads(
-        codes, PIPE_BATCH * PIPE_BATCHES, 100, seed=3, sub_rate=0.015, max_subs=2
+    rarr, true_pos, true_strand = sim_sub_reads(
+        codes, PIPE_BATCH * PIPE_BATCHES, 100, seed=3, max_subs=2
     )
-    reads = [s.read for s in sims]
+    reads = [Read(f"r{i}", rarr[i]) for i in range(rarr.shape[0])]
 
     # warmup batch (compile)
     al.align_batch(reads[:PIPE_BATCH])
@@ -196,10 +213,11 @@ def bench_pipeline(metrics):
         pending = nxt
         batch_times.append(time.time() - tb)
         log(f"batch {b}: {batch_times[-1]*1e3:.0f} ms, stats={al.last_stats}")
-        for s, h in zip(sims[b * PIPE_BATCH : (b + 1) * PIPE_BATCH], hits):
+        base = b * PIPE_BATCH
+        for i, h in enumerate(hits):
             if h is not None:
                 n_mapped += 1
-                if h.pos == s.true_pos and h.strand == s.true_strand:
+                if h.pos == true_pos[base + i] and h.strand == true_strand[base + i]:
                     n_correct += 1
     total = PIPE_BATCH * PIPE_BATCHES
     # Two corrections for an honest sustained rate:
