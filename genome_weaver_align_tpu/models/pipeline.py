@@ -25,49 +25,80 @@ from . import exact, suffix_filter
 
 @dataclass
 class ExactHit:
-    pos: int  # global genome coordinate
+    pos: int  # global genome coordinate (multi-hit reads: the occurrence at
+    #           the smallest SA rank — deterministic; mapq 0 flags ambiguity)
     strand: int  # 0 fwd, 1 rev (read maps as revcomp)
     n_hits: int  # multiplicity across both strands
 
 
 class ExactAligner:
-    """Acceptance config 1: exact-match backward search end-to-end."""
+    """Acceptance config 1: exact-match backward search end-to-end.
 
-    def __init__(self, gi: GenomeIndex, max_hits: int = 16):
+    One jitted call per batch: both strands searched, best (smallest
+    position, fwd-preferred) located, single packed download.  Accepts a
+    k-mer prefix table like the flagship aligner."""
+
+    def __init__(self, gi: GenomeIndex, max_hits: int = 16, kmer_table=None, kmer_j: int = 0):
+        import jax.numpy as jnp
+
         self.gi = gi
         self.fm = rank.from_host(gi.fwd)
         self.max_hits = max_hits
+        self.kmer_tab = None
+        self.kmer_j = 0
+        if kmer_table is not None and kmer_j > 0:
+            self.kmer_tab = (jnp.asarray(kmer_table[0]), jnp.asarray(kmer_table[1]))
+            self.kmer_j = kmer_j
+        self._jit_cache = {}
+
+    def _step(self, L):
+        import jax
+        from functools import partial
+
+        key = L
+        if key not in self._jit_cache:
+            kmer_j = self.kmer_j
+
+            def impl(fm, kmer_tab, reads, lengths):
+                import jax.numpy as jnp
+
+                rc = jnp.where(reads < 4, 3 - reads, reads)[:, ::-1]
+                outs = []
+                for batch in (reads, rc):
+                    lo, hi = exact.exact_interval_search(
+                        fm, batch.astype(jnp.int32), lengths,
+                        kmer_tab=kmer_tab, kmer_j=kmer_j,
+                    )
+                    pos, valid = exact.locate_hits(fm, lo, hi, 1)
+                    first = jnp.where(valid[:, 0], pos[:, 0], jnp.int32(2**30))
+                    outs.append((first, jnp.maximum(hi - lo, 0)))
+                (pf, wf), (pr, wr) = outs
+                take_r = pr < pf
+                return jnp.stack(
+                    [
+                        jnp.where(take_r, pr, pf),
+                        take_r.astype(jnp.int32),
+                        wf + wr,
+                    ]
+                )
+
+            self._jit_cache[key] = jax.jit(impl)
+        return self._jit_cache[key]
 
     def align_batch(self, reads: list[Read]):
         import jax.numpy as jnp
 
         lengths = np.array([len(r) for r in reads], dtype=np.int32)
-        fwd = reads_to_batch(reads).astype(np.int32)
-        rc = exact.revcomp_batch(fwd, lengths)
-
-        hits_per_strand = []
-        for batch in (fwd, rc):
-            lo, hi = exact.exact_interval_search(
-                self.fm, jnp.asarray(batch), jnp.asarray(lengths)
+        fwd = reads_to_batch(reads).astype(np.int8)
+        packed = np.asarray(
+            self._step(fwd.shape[1])(
+                self.fm, self.kmer_tab, jnp.asarray(fwd), jnp.asarray(lengths)
             )
-            pos, valid = exact.locate_hits(self.fm, lo, hi, self.max_hits)
-            hits_per_strand.append(
-                (np.asarray(pos), np.asarray(valid), np.asarray(hi) - np.asarray(lo))
-            )
-
+        )
+        pos, strand, total = packed
         out: list[ExactHit | None] = []
-        for i in range(len(reads)):
-            cands = []
-            total = 0
-            for strand, (pos, valid, width) in enumerate(hits_per_strand):
-                total += max(0, int(width[i]))
-                for p in pos[i][valid[i]]:
-                    cands.append((int(p), strand))
-            if not cands:
-                out.append(None)
-            else:
-                p, s = min(cands)
-                out.append(ExactHit(p, s, total))
+        for p, st, t in zip(pos.tolist(), strand.tolist(), total.tolist()):
+            out.append(None if p >= 2**30 else ExactHit(p, st, t))
         return out
 
     def to_sam(self, reads: list[Read], hits) -> list[sam.SamRecord]:
