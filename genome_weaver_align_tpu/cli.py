@@ -109,7 +109,15 @@ def _cmd_align(args) -> int:
 
     reads = list(iter_reads(args.reads))
     paired = None
-    if args.paired:
+    if args.interleaved:
+        assert len(reads) % 2 == 0, "interleaved input needs an even read count"
+        mates = reads[1::2]
+        reads = reads[0::2]
+        from .models.paired import PairedAligner
+
+        paired = PairedAligner(aligner)
+        sw.lap(f"loaded {len(reads)} interleaved pairs")
+    elif args.paired:
         mates = list(iter_reads(args.paired))
         assert len(mates) == len(reads), "paired files must have equal read counts"
         from .models.paired import PairedAligner
@@ -261,6 +269,10 @@ def main(argv=None) -> int:
     pa.add_argument("--batch-size", type=int, default=4096)
     pa.add_argument("--max-hits-per-piece", type=int, default=8)
     pa.add_argument("--paired", help="R2 file: align as pairs (reads = R1)")
+    pa.add_argument(
+        "--interleaved", action="store_true",
+        help="reads file holds R1/R2 alternating (paired mode)",
+    )
     pa.add_argument("--kmer-table", help=".npz with lo/hi arrays (index.kmer)")
     pa.add_argument("--report", help="write a JSON run report here")
     pa.add_argument("--resume", action="store_true", help="resume from .progress")

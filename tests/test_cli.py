@@ -116,3 +116,28 @@ def test_cli_sharded_align(tmp_path):
     ]) == 0
     # byte-identical output whatever the mesh (minus nothing: same header)
     assert out1.read_text() == out2.read_text()
+
+
+def test_cli_interleaved(tmp_path):
+    rng = np.random.default_rng(21)
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [Contig("c1", rng.integers(0, 4, size=20000, dtype=np.uint8))])
+    idx = tmp_path / "g.npz"
+    assert main(["index", str(fa), "-o", str(idx)]) == 0
+    from genome_weaver_align_tpu.index.files import load_index
+    from genome_weaver_align_tpu.utils import simulate
+    from genome_weaver_align_tpu.utils.fasta import write_fastq
+
+    gi = load_index(idx)
+    pairs = simulate.simulate_pairs(gi.genome.codes, 10, 80, seed=5)
+    inter = []
+    for p in pairs:
+        inter += [p.r1.read, p.r2.read]
+    write_fastq(tmp_path / "il.fq", inter)
+    out = tmp_path / "o.sam"
+    assert main(
+        ["align", str(idx), str(tmp_path / "il.fq"), "--interleaved", "-k", "2", "-o", str(out)]
+    ) == 0
+    body = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    assert len(body) == 20
+    assert all(int(l.split("\t")[1]) & 0x1 for l in body)

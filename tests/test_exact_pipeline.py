@@ -83,3 +83,30 @@ def test_unmapped_read():
         assert hits[0].n_hits >= 1
     recs = aligner.to_sam([r], hits)
     assert recs[0].flag & 0x4 or hits[0] is not None
+
+
+def test_genome_with_n_regions():
+    """N runs in the input genome are randomized deterministically and
+    recorded as spans; reads over clean regions still align exactly."""
+    rng = np.random.default_rng(13)
+    codes = rng.integers(0, 4, size=8000, dtype=np.uint8)
+    raw = codes.copy()
+    raw[2000:2100] = 4  # N run
+    from genome_weaver_align_tpu.index.files import Genome, build_genome_index
+    from genome_weaver_align_tpu.utils.fasta import Contig, Read
+    from genome_weaver_align_tpu.models.pipeline import SuffixFilterAligner
+
+    g = Genome.from_contigs([Contig("n1", raw)])
+    assert g.n_mask_spans.shape == (1, 2)
+    assert tuple(g.n_mask_spans[0]) == (2000, 2100)
+    assert g.codes.max() <= 3
+    gi = build_genome_index(g, sample_rate=16)
+    al = SuffixFilterAligner(gi, k=2)
+    # a clean-region read and a read with its own N
+    r1 = Read("clean", g.codes[5000:5100].copy())
+    rn = g.codes[6000:6100].copy()
+    rn[50] = 4
+    r2 = Read("hasN", rn)
+    h1, h2 = al.align_batch([r1, r2])
+    assert h1 is not None and h1.pos == 5000 and h1.dist == 0
+    assert h2 is not None and h2.pos == 6000 and h2.dist == 1  # N costs one edit
