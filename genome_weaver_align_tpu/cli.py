@@ -45,7 +45,12 @@ def _cmd_index(args) -> int:
             return suffix_array_device(codes)
         return None  # auto: build_fm_index picks native-else-numpy
 
-    fwd = build_fm_index(genome.codes, sample_rate=args.sample_rate, sa=sa_for(genome.codes))
+    fwd = build_fm_index(
+        genome.codes,
+        sample_rate=args.sample_rate,
+        sa=sa_for(genome.codes),
+        keep_full_sa=args.full_sa,
+    )
     rcodes = genome.codes[::-1].copy()
     rev = build_fm_index(rcodes, sample_rate=args.sample_rate, sa=sa_for(rcodes))
     gi = GenomeIndex(genome, fwd, rev)
@@ -60,6 +65,12 @@ def _cmd_index(args) -> int:
         lo, hi = build_kmer_table(fwd, args.kmer)
         _np.savez(args.out + f".kmer{args.kmer}.npz", lo=lo, hi=hi)
         sw.lap(f"built {args.kmer}-mer table -> {args.out}.kmer{args.kmer}.npz")
+    if args.seed:
+        from .index.seedtable import build_seed_table, save_seed_table
+
+        offsets, positions = build_seed_table(genome.codes, args.seed)
+        save_seed_table(args.out + f".seed{args.seed}.npz", offsets, positions, args.seed)
+        sw.lap(f"built {args.seed}-mer seed table -> {args.out}.seed{args.seed}.npz")
     return 0
 
 
@@ -84,6 +95,12 @@ def _cmd_align(args) -> int:
         j = int(_np.log2(z["lo"].size) / 2)
         kmer_kwargs = dict(kmer_table=(z["lo"], z["hi"]), kmer_j=j)
         sw.lap(f"loaded {j}-mer table")
+    if args.seed_table:
+        from .index.seedtable import load_seed_table
+
+        offsets, positions, sj = load_seed_table(args.seed_table)
+        kmer_kwargs.update(seed_table=(offsets, positions), seed_j=sj)
+        sw.lap(f"loaded {sj}-mer seed table")
 
     mode = args.mode
     if mode == "auto":
@@ -254,6 +271,14 @@ def main(argv=None) -> int:
         "--builder", choices=["auto", "numpy", "native", "device"], default="auto"
     )
     pi.add_argument("--kmer", type=int, default=0, help="also build a j-mer table")
+    pi.add_argument(
+        "--full-sa", action="store_true",
+        help="keep the full suffix array in the index (locate = one gather)",
+    )
+    pi.add_argument(
+        "--seed", type=int, default=0,
+        help="also build a CSR j-mer seed table (index.seedtable)",
+    )
     pi.set_defaults(fn=_cmd_index)
 
     pa = sub.add_parser("align", help="align reads to an index")
@@ -274,6 +299,7 @@ def main(argv=None) -> int:
         help="reads file holds R1/R2 alternating (paired mode)",
     )
     pa.add_argument("--kmer-table", help=".npz with lo/hi arrays (index.kmer)")
+    pa.add_argument("--seed-table", help=".npz seed table (index.seedtable)")
     pa.add_argument("--report", help="write a JSON run report here")
     pa.add_argument("--resume", action="store_true", help="resume from .progress")
     pa.add_argument("--profile", help="capture a jax.profiler trace to this dir")

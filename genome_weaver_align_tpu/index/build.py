@@ -62,6 +62,8 @@ class FMIndexData:
     ssa_marks: BitVector  # over n+1 BWT rows
     ssa_values: np.ndarray  # int64, sampled SA values in row order
     text_words: np.ndarray  # packed text (window extraction for DP verify)
+    full_sa: np.ndarray | None = None  # optional (n+1,) int32 full SA —
+    # locate becomes ONE gather (memory-for-bandwidth HBM trade, SURVEY.md §7)
 
     # ---------------- rank / occ ----------------
 
@@ -134,6 +136,7 @@ def build_fm_index(
     codes: np.ndarray,
     sample_rate: int = 32,
     sa: np.ndarray | None = None,
+    keep_full_sa: bool = False,
 ) -> FMIndexData:
     codes = np.asarray(codes, dtype=np.uint8)
     n = codes.size
@@ -173,6 +176,11 @@ def build_fm_index(
     ssa_marks = BitVector(marked)
     ssa_values = sa[marked].astype(np.int64)
 
+    full_sa = None
+    if keep_full_sa:
+        assert n + 1 < 2**31, "full SA requires int32 rows; use multi-part index"
+        full_sa = sa.astype(np.int32)
+
     return FMIndexData(
         n=n,
         primary=primary,
@@ -184,4 +192,5 @@ def build_fm_index(
         ssa_marks=ssa_marks,
         ssa_values=ssa_values,
         text_words=packing.pack(codes),
+        full_sa=full_sa,
     )

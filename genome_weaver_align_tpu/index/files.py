@@ -75,8 +75,10 @@ class GenomeIndex:
     rev: FMIndexData  # index of the *reversed* text (not reverse-complement)
 
 
-def build_genome_index(genome: Genome, sample_rate: int = 32) -> GenomeIndex:
-    fwd = build_fm_index(genome.codes, sample_rate=sample_rate)
+def build_genome_index(
+    genome: Genome, sample_rate: int = 32, keep_full_sa: bool = False
+) -> GenomeIndex:
+    fwd = build_fm_index(genome.codes, sample_rate=sample_rate, keep_full_sa=keep_full_sa)
     rev = build_fm_index(genome.codes[::-1].copy(), sample_rate=sample_rate)
     return GenomeIndex(genome, fwd, rev)
 
@@ -105,6 +107,8 @@ def save_index(path, gi: GenomeIndex) -> None:
         arrays[f"{tag}_counts"] = fm.counts
         arrays[f"{tag}_C"] = fm.C
         arrays[f"{tag}_ssa_mark_bits"] = _marks_bits(fm)
+        if fm.full_sa is not None:
+            arrays[f"{tag}_full_sa"] = fm.full_sa
     arrays["meta_json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez_compressed(path, **arrays)
 
@@ -141,5 +145,6 @@ def load_index(path) -> GenomeIndex:
             ssa_marks=BitVector(bits),
             ssa_values=z[f"{tag}_ssa_values"],
             text_words=z[f"{tag}_text_words"],
+            full_sa=z[f"{tag}_full_sa"] if f"{tag}_full_sa" in z else None,
         )
     return GenomeIndex(genome, fms["fwd"], fms["rev"])

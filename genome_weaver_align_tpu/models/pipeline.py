@@ -150,6 +150,10 @@ class SuffixFilterAligner:
         kmer_table=None,  # (lo, hi) numpy arrays from index.kmer, optional
         kmer_j: int = 0,
         verify_mode: str = "banded",  # banded | myers
+        seed_table=None,  # (offsets, positions) from index.seedtable, optional
+        seed_j: int = 0,
+        max_cands: int | None = None,  # verify lanes per read after dedup;
+        # default 8 (FM path) / 4*(k+1) (seed path, which proposes a superset)
     ):
         import jax.numpy as jnp
 
@@ -166,6 +170,14 @@ class SuffixFilterAligner:
         if kmer_table is not None and kmer_j > 0:
             self.kmer_tab = (jnp.asarray(kmer_table[0]), jnp.asarray(kmer_table[1]))
             self.kmer_j = kmer_j
+        self.seed_tab = None
+        self.seed_j = 0
+        if seed_table is not None and seed_j > 0:
+            self.seed_tab = (jnp.asarray(seed_table[0]), jnp.asarray(seed_table[1]))
+            self.seed_j = seed_j
+        if max_cands is None:
+            max_cands = 4 * (k + 1) if self.seed_tab is not None else 8
+        self.max_cands = max_cands
         if use_staircase:
             from . import bidirectional as bd
 
@@ -189,17 +201,29 @@ class SuffixFilterAligner:
             )
         else:
             min_piece = int(lengths.min()) // self.n_pieces
-            cands = suffix_filter.pigeonhole_candidates(
-                self.fm,
-                jnp.asarray(search_reads),
-                jnp.asarray(lengths),
-                self.n_pieces,
-                self.max_hits,
-                kmer_tab=self.kmer_tab,
-                kmer_j=self.kmer_j,
-                kmer_full_cover=bool(self.kmer_j and min_piece >= self.kmer_j),
-                max_cands=8,
-            )
+            if self.seed_tab is not None and min_piece >= self.seed_j:
+                cands = suffix_filter.seed_candidates(
+                    self.seed_tab[0],
+                    self.seed_tab[1],
+                    jnp.asarray(search_reads),
+                    jnp.asarray(lengths),
+                    self.n_pieces,
+                    self.seed_j,
+                    max_hits=self.max_hits,
+                    max_cands=self.max_cands,
+                )
+            else:
+                cands = suffix_filter.pigeonhole_candidates(
+                    self.fm,
+                    jnp.asarray(search_reads),
+                    jnp.asarray(lengths),
+                    self.n_pieces,
+                    self.max_hits,
+                    kmer_tab=self.kmer_tab,
+                    kmer_j=self.kmer_j,
+                    kmer_full_cover=bool(self.kmer_j and min_piece >= self.kmer_j),
+                    max_cands=self.max_cands,
+                )
         if self.verify_mode == "myers":
             nwords = (L + 31) // 32
             dist = suffix_filter.verify_candidates_myers(
@@ -251,10 +275,12 @@ class SuffixFilterAligner:
         if uniform:
             # fast path: ONE jit call, one int8 upload, device-side RC
             min_piece = L // self.n_pieces
+            use_seed = self.seed_tab is not None and min_piece >= self.seed_j
             out_dev = fused_align_step(
                 self.fm,
                 self.text_words,
                 self.kmer_tab,
+                self.seed_tab if use_seed else None,
                 jnp.asarray(verify_fwd.astype(np.int8)),
                 jnp.asarray(lengths),
                 k=self.k,
@@ -262,8 +288,9 @@ class SuffixFilterAligner:
                 max_hits=self.max_hits,
                 kmer_j=self.kmer_j,
                 kmer_full_cover=bool(self.kmer_j and min_piece >= self.kmer_j),
-                max_cands=8,
+                max_cands=self.max_cands,
                 W=L + 3 * self.k,
+                seed_j=self.seed_j if use_seed else 0,
             )
             return ("uniform", reads, lengths, verify_fwd, out_dev)
         return ("general", reads, lengths, verify_fwd)
@@ -411,8 +438,8 @@ def revcomp_verify_batch(batch: np.ndarray, lengths: np.ndarray) -> np.ndarray:
 
 
 def _fused_align_step_impl(
-    fm, text_words, kmer_tab, verify_fwd, lengths,
-    *, k, n_pieces, max_hits, kmer_j, kmer_full_cover, max_cands, W,
+    fm, text_words, kmer_tab, seed_tab, verify_fwd, lengths,
+    *, k, n_pieces, max_hits, kmer_j, kmer_full_cover, max_cands, W, seed_j=0,
 ):
     """Whole per-batch device step in one jit: both strands, candidate
     generation, verify, cross-strand best, fast-CIGAR hamming check.
@@ -434,11 +461,17 @@ def _fused_align_step_impl(
     # latency and costs ~7% in the wider sorts
     def strand_pass(vcodes):
         search = jnp.where(vcodes >= 4, 0, vcodes).astype(jnp.int32)
-        cands = suffix_filter.pigeonhole_candidates(
-            fm, search, lengths, n_pieces, max_hits,
-            kmer_tab=kmer_tab, kmer_j=kmer_j, kmer_full_cover=kmer_full_cover,
-            max_cands=max_cands,
-        )
+        if seed_tab is not None and seed_j > 0:
+            cands = suffix_filter.seed_candidates(
+                seed_tab[0], seed_tab[1], search, lengths, n_pieces, seed_j,
+                max_hits=max_hits, max_cands=max_cands,
+            )
+        else:
+            cands = suffix_filter.pigeonhole_candidates(
+                fm, search, lengths, n_pieces, max_hits,
+                kmer_tab=kmer_tab, kmer_j=kmer_j, kmer_full_cover=kmer_full_cover,
+                max_cands=max_cands,
+            )
         dist, _ = suffix_filter.verify_candidates(
             text_words, fm.n, vcodes.astype(jnp.int32), lengths,
             cands.cand_pos, k, W,
@@ -481,14 +514,14 @@ def _fused_align_step_impl(
 _fused_cache: dict = {}
 
 
-def fused_align_step(fm, text_words, kmer_tab, verify_fwd, lengths, **static):
+def fused_align_step(fm, text_words, kmer_tab, seed_tab, verify_fwd, lengths, **static):
     """jit-cached wrapper (static config in the cache key)."""
     import jax
     from functools import partial
 
-    key = tuple(sorted(static.items())) + (kmer_tab is not None,)
+    key = tuple(sorted(static.items())) + (kmer_tab is not None, seed_tab is not None)
     if key not in _fused_cache:
         _fused_cache[key] = jax.jit(
             partial(_fused_align_step_impl, **static)
         )
-    return _fused_cache[key](fm, text_words, kmer_tab, verify_fwd, lengths)
+    return _fused_cache[key](fm, text_words, kmer_tab, seed_tab, verify_fwd, lengths)

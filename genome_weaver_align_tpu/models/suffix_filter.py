@@ -149,7 +149,12 @@ def pigeonhole_candidates(
 
     cand = jnp.where(valid & located, pos - s[:, :, None], NO_CAND)
     cand = cand.reshape(B, n_pieces * max_hits)
+    return _dedupe_cands(cand, overflow, max_cands)
 
+
+def _dedupe_cands(cand: jax.Array, overflow: jax.Array, max_cands: int | None):
+    """Shared candidate tail: sort, neighbour-dedupe, cap at max_cands."""
+    B = cand.shape[0]
     cand = jnp.sort(cand, axis=1)
     dup = jnp.concatenate(
         [jnp.zeros((B, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1
@@ -162,6 +167,45 @@ def pigeonhole_candidates(
         cand = cand[:, :max_cands]
         n = jnp.minimum(n, max_cands)
     return CandidateResult(cand, n, overflow)
+
+
+@partial(jax.jit, static_argnames=("n_pieces", "j", "max_hits", "max_cands"))
+def seed_candidates(
+    offsets: jax.Array,  # (4^j + 1,) int32 CSR bucket starts
+    positions: jax.Array,  # (n - j + 1,) int32 positions grouped by j-mer
+    reads: jax.Array,  # (B, L) int32 search codes (N already mapped to 0)
+    lengths: jax.Array,
+    n_pieces: int,
+    j: int,
+    max_hits: int = 16,
+    max_cands: int | None = None,
+) -> CandidateResult:
+    """Candidate loci via the CSR seed table (index.seedtable) — no backward
+    search, no LF locate: per piece ONE offsets-pair gather + ONE positions
+    slice gather.  Complete for <=k-edit alignments by pigeonhole (an exact
+    piece implies its last-j-mer is exact); extra diagonals are a verified
+    superset.  Caller guarantees every piece length >= j.
+    """
+    B, L = reads.shape
+    bounds = _piece_bounds(lengths, n_pieces)
+    s, e = bounds[:, :-1], bounds[:, 1:]  # (B, P)
+
+    idx = jnp.zeros((B, n_pieces), jnp.int32)
+    for t in range(j):
+        pos_t = jnp.clip(e - j + t, 0)
+        c = jnp.take_along_axis(reads, pos_t, axis=1)
+        idx = (idx << 2) | c
+    off2 = offsets[idx[..., None] + jnp.arange(2, dtype=jnp.int32)]  # (B, P, 2)
+    start, end = off2[..., 0], off2[..., 1]
+    width = end - start
+    overflow = jnp.any(width > max_hits, axis=1)
+
+    slots = start[..., None] + jnp.arange(max_hits, dtype=jnp.int32)  # (B, P, H)
+    valid = slots < end[..., None]
+    hit = positions[jnp.clip(slots, 0, positions.shape[0] - 1)]
+    # diagonal: j-mer genome position minus its offset in the read
+    cand = jnp.where(valid, hit - (e - j)[..., None], NO_CAND)
+    return _dedupe_cands(cand.reshape(B, n_pieces * max_hits), overflow, max_cands)
 
 
 class VerifyResult(NamedTuple):

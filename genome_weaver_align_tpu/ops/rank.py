@@ -53,6 +53,7 @@ class DeviceFMIndex:
     ssa_values: jax.Array  # (n_samples,) int32 — sampled SA values, row order
     n: int = dataclasses.field(metadata=dict(static=True))
     sample_rate: int = dataclasses.field(metadata=dict(static=True))
+    full_sa: jax.Array | None = None  # optional (n+1,) int32 — locate in ONE gather
 
 
 def fuse_blocks(bwt_words: np.ndarray, occ_cp: np.ndarray) -> np.ndarray:
@@ -78,6 +79,7 @@ def from_host(fm: FMIndexData) -> DeviceFMIndex:
         ssa_values=jnp.asarray(fm.ssa_values.astype(np.int32)),
         n=int(fm.n),
         sample_rate=int(fm.sample_rate),
+        full_sa=None if fm.full_sa is None else jnp.asarray(fm.full_sa),
     )
 
 
@@ -195,7 +197,13 @@ def _mark_rank1(fm: DeviceFMIndex, i: jax.Array) -> jax.Array:
 
 
 def locate(fm: DeviceFMIndex, rows: jax.Array) -> jax.Array:
-    """Text positions of BWT rows via bounded LF walk (fixed trip count)."""
+    """Text positions of BWT rows.
+
+    With a full SA resident in HBM this is ONE gather; otherwise a bounded
+    LF walk to the nearest sparse-SA sample (fixed trip count).  Results are
+    bit-identical either way (the walk reconstructs exactly SA[row])."""
+    if fm.full_sa is not None:
+        return fm.full_sa[rows.astype(jnp.int32)]
 
     def body(_, state):
         i, d = state
