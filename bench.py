@@ -32,6 +32,7 @@ EXACT_BATCH = 131_072
 PIPE_BATCH = 32_768
 PIPE_BATCHES = 8
 KMER_J = 12
+SEED_J = 13
 
 
 def log(msg):
@@ -49,25 +50,28 @@ def build_or_load_index(n, sample_rate=32, tag=None):
     cpath = CACHE / f"g{tag}_codes.npy"
     if path.exists():
         z = np.load(path)
-        bits = np.unpackbits(z["mark_bits"])[: int(z["n"]) + 1].astype(bool)
-        fm = FMIndexData(
-            n=int(z["n"]),
-            primary=int(z["primary"]),
-            counts=z["counts"],
-            C=z["C"],
-            bwt_words=z["bwt_words"],
-            occ_cp=z["occ_cp"],
-            sample_rate=int(z["sample_rate"]),
-            ssa_marks=BitVector(bits),
-            ssa_values=z["ssa_values"],
-            text_words=z["text_words"],
-        )
-        return np.load(cpath), fm
+        if "full_sa" in z:
+            bits = np.unpackbits(z["mark_bits"])[: int(z["n"]) + 1].astype(bool)
+            fm = FMIndexData(
+                n=int(z["n"]),
+                primary=int(z["primary"]),
+                counts=z["counts"],
+                C=z["C"],
+                bwt_words=z["bwt_words"],
+                occ_cp=z["occ_cp"],
+                sample_rate=int(z["sample_rate"]),
+                ssa_marks=BitVector(bits),
+                ssa_values=z["ssa_values"],
+                text_words=z["text_words"],
+                full_sa=z["full_sa"],
+            )
+            return np.load(cpath), fm
+        log(f"cache {path} lacks full_sa; rebuilding once")
     log(f"building index ({n} bp, one-time)...")
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 4, size=n, dtype=np.uint8)
     t0 = time.time()
-    fm = build_fm_index(codes, sample_rate=sample_rate)
+    fm = build_fm_index(codes, sample_rate=sample_rate, keep_full_sa=True)
     log(f"index built in {time.time()-t0:.1f}s")
     marks = np.zeros(fm.n + 1, dtype=bool)
     marks[:] = fm.ssa_marks.get(np.arange(fm.n + 1))
@@ -83,9 +87,25 @@ def build_or_load_index(n, sample_rate=32, tag=None):
         mark_bits=np.packbits(marks),
         ssa_values=fm.ssa_values,
         text_words=fm.text_words,
+        full_sa=fm.full_sa,
     )
     np.save(cpath, codes)
     return codes, fm
+
+
+def load_seed_table(codes, tag, j=13):
+    from genome_weaver_align_tpu.index import seedtable
+
+    path = CACHE / f"seed{j}_{tag}.npz"
+    if path.exists():
+        offsets, positions, _ = seedtable.load_seed_table(path)
+        return offsets, positions
+    log(f"building {j}-mer seed table for {tag} (one-time)...")
+    t0 = time.time()
+    offsets, positions = seedtable.build_seed_table(codes, j)
+    log(f"seed table built in {time.time()-t0:.1f}s")
+    seedtable.save_seed_table(path, offsets, positions, j)
+    return offsets, positions
 
 
 def load_kmer(fm, tag):
@@ -184,9 +204,14 @@ def bench_pipeline(metrics):
         n_mask_spans=np.zeros((0, 2), np.int64),
     )
     gi = GenomeIndex(genome, fm, None)  # rev index not needed for pigeonhole
-    kl, kh = load_kmer(fm, "chr20")
+    so, sp = load_seed_table(codes, "chr20", SEED_J)
     al = SuffixFilterAligner(
-        gi, k=2, max_hits_per_piece=8, kmer_table=(kl, kh), kmer_j=KMER_J
+        gi,
+        k=2,
+        max_hits_per_piece=16,
+        seed_table=(so, sp),
+        seed_j=SEED_J,
+        max_cands=12,
     )
 
     log("simulating pipeline reads...")

@@ -128,8 +128,12 @@ class FMIndexData:
         """Text codes in [start, start+length) (clipped to the text)."""
         start = max(0, int(start))
         end = min(self.n, start + int(length))
-        full = packing.unpack(self.text_words, self.n)
-        return full[start:end]
+        if end <= start:
+            return np.zeros(0, dtype=np.uint8)
+        w0, w1 = start // packing.BASES_PER_WORD, (end - 1) // packing.BASES_PER_WORD + 1
+        span = packing.unpack(self.text_words[w0:w1], (w1 - w0) * packing.BASES_PER_WORD)
+        off = start - w0 * packing.BASES_PER_WORD
+        return span[off : off + (end - start)]
 
 
 def build_fm_index(

@@ -358,33 +358,51 @@ class SuffixFilterAligner:
             lengths.tolist(),
         )
         out: list[ApproxHit | None] = []
-        n_slow = 0
+        slow: list[tuple[int, int, int, int]] = []  # (read idx, strand, n_good, ovf)
         for i, (m, f, p, st, d, g, o, l) in enumerate(cols):
             if not m:
                 out.append(None)
             elif f:
                 out.append(ApproxHit(p, st, d, cigar_cache[l], g, o))
             else:
-                # slow path (indels): full host traceback for this read only
-                n_slow += 1
-                ws = ws_all[i]
+                slow.append((i, st, g, o))
+                out.append(None)  # filled by the batched traceback below
+
+        if slow:
+            # slow path (indels): ONE banded DP + lockstep traceback over the
+            # whole cohort (ops.dp.traceback_banded_batch) — replaces the old
+            # ~5 ms/read full-matrix host DP
+            S = len(slow)
+            lmax = int(max(lengths[i] for i, *_ in slow))
+            Wb = lmax + 3 * self.k
+            vcodes = np.zeros((S, lmax), dtype=np.int64)
+            wins = np.full((S, Wb), 4, dtype=np.int64)
+            lens_s = np.empty(S, dtype=np.int64)
+            for t, (i, st, _, _) in enumerate(slow):
+                l = int(lengths[i])
+                lens_s[t] = l
                 if verify_rc is None:  # uniform fast path: build RC lazily
                     row = verify_fwd[i]
-                    vcodes = (
+                    vc = (
                         row
                         if st == 0
                         else dna.revcomp(row.astype(np.uint8)).astype(row.dtype)
                     )
                 else:
-                    vcodes = vsel[i]
-                win = self.gi.fwd.extract(ws, l + 3 * self.k).astype(np.int64)
-                d2, start, _, cigar = dp_ops.traceback_semiglobal_host(
-                    vcodes[:l].astype(np.int64), win
+                    vc = vsel[i]
+                vcodes[t, :l] = vc[:l]
+                ws = ws_all[i]
+                s0 = max(0, ws)
+                seg = self.gi.fwd.extract(s0, min(self.fm.n, ws + Wb) - s0)
+                wins[t, s0 - ws : s0 - ws + seg.size] = seg
+            dist_s, start_s, cig_s = dp_ops.traceback_banded_batch(
+                vcodes, lens_s, wins, self.k
+            )
+            for t, (i, st, g, o) in enumerate(slow):
+                out[i] = ApproxHit(
+                    ws_all[i] + int(start_s[t]), st, int(dist_s[t]), cig_s[t], g, o
                 )
-                out.append(
-                    ApproxHit(max(0, ws) + start, st, int(d2), cigar, g, o)
-                )
-        self.last_stats = {"n_slow_traceback": n_slow, "n_mapped": int(mapped.sum())}
+        self.last_stats = {"n_slow_traceback": len(slow), "n_mapped": int(mapped.sum())}
         return out
 
     def to_sam(self, reads: list[Read], hits) -> list[sam.SamRecord]:

@@ -98,6 +98,116 @@ def hamming_distance(
     return jnp.sum(jnp.where(in_read, mm, False).astype(jnp.int32), axis=1)
 
 
+# ------------------------------------------------- batched band traceback
+#
+# The per-read "slow path" (indel CIGARs) used to run the full-matrix host
+# DP at ~5 ms/read; for indel-heavy streams that dominates the whole batch.
+# This pair computes the same banded DP as ``banded_edit_distance`` (numpy,
+# vectorised over reads) while keeping every band row, then walks all
+# tracebacks in lockstep — O(L) tiny numpy steps for the entire cohort.
+
+_HINF = np.int32(1 << 20)
+
+
+def banded_rows_host(reads: np.ndarray, lengths: np.ndarray, windows: np.ndarray, k: int):
+    """Band DP keeping all rows: (Q, L+1, band) int32, device-identical."""
+    Q, L = reads.shape
+    W = windows.shape[1]
+    band = 4 * k + 1
+    boff = np.arange(band, dtype=np.int64) - k
+    D = np.empty((Q, L + 1, band), dtype=np.int32)
+    D[:, 0, :] = np.where(boff >= 0, 0, _HINF)[None, :]
+    reads = np.asarray(reads, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    for i in range(L):
+        prev = D[:, i, :]
+        j = i + boff[None, :]  # (1, band) diag-predecessor window positions
+        valid = (j >= 0) & (j < W)
+        wchar = np.take_along_axis(windows, np.clip(j, 0, W - 1), axis=1)
+        sub = np.where(
+            valid & (wchar == reads[:, i][:, None]) & (reads[:, i][:, None] < 4), 0, 1
+        )
+        diag = prev + sub
+        ins = np.concatenate([prev[:, 1:], np.full((Q, 1), _HINF, np.int32)], axis=1) + 1
+        tmp = np.minimum(diag, ins)
+        tmp = np.where(valid, tmp, _HINF)
+        run = tmp[:, 0].copy()
+        out = D[:, i + 1, :]
+        out[:, 0] = run
+        for b in range(1, band):
+            run = np.minimum(tmp[:, b], run + 1)
+            out[:, b] = run
+        active = i < lengths
+        out[~active] = prev[~active]
+    return D
+
+
+def traceback_banded_batch(
+    reads: np.ndarray,  # (Q, L) verify codes (>=4 never matches)
+    lengths: np.ndarray,  # (Q,)
+    windows: np.ndarray,  # (Q, W)
+    k: int,
+):
+    """Banded DP + lockstep traceback for a read cohort.
+
+    Returns (dist (Q,), start_in_window (Q,), cigars list[str]).  Operation
+    preference is M > I > D at equal cost (same order as the full-matrix
+    ``traceback_semiglobal_host``); ties at the end pick the smallest window
+    end position (first argmin), matching ``banded_edit_distance``'s end_b.
+    """
+    Q, L = reads.shape
+    W = windows.shape[1]
+    band = 4 * k + 1
+    boff = np.arange(band, dtype=np.int64) - k
+    D = banded_rows_host(reads, lengths, windows, k)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    reads = np.asarray(reads, dtype=np.int64)
+
+    j_end = lengths[:, None] + boff[None, :]
+    Df = np.where((j_end >= 0) & (j_end <= W), D[np.arange(Q), lengths, :], _HINF)
+    dist = Df.min(axis=1).astype(np.int64)
+    b = Df.argmin(axis=1).astype(np.int64)
+
+    i = lengths.copy()
+    max_steps = L + 2 * k + 1
+    ops = np.zeros((Q, max_steps), dtype=np.int8)  # 0 none, 1 M, 2 I, 3 D
+    q = np.arange(Q)
+    for step in range(max_steps):
+        active = i > 0
+        if not active.any():
+            break
+        j = i + b - k  # current cell's window position
+        cur = D[q, i, b]
+        ip = np.maximum(i - 1, 0)
+        jp = j - 1  # diag predecessor window position (char indices i-1, j-1)
+        wchar = np.take_along_axis(windows, np.clip(jp, 0, W - 1)[:, None], axis=1)[:, 0]
+        rchar = np.take_along_axis(reads, np.clip(ip, 0, L - 1)[:, None], axis=1)[:, 0]
+        sub = np.where((jp >= 0) & (jp < W) & (wchar == rchar) & (rchar < 4), 0, 1)
+        diag_ok = active & (j >= 1) & (cur == D[q, ip, b] + sub)
+        bp = np.minimum(b + 1, band - 1)
+        ins_ok = active & ~diag_ok & (b + 1 < band) & (cur == D[q, ip, bp] + 1)
+        bm = np.maximum(b - 1, 0)
+        del_ok = active & ~diag_ok & ~ins_ok & (b >= 1) & (cur == D[q, i, bm] + 1)
+        assert bool(np.all(diag_ok | ins_ok | del_ok | ~active)), "traceback stuck"
+        ops[:, step] = np.where(diag_ok, 1, np.where(ins_ok, 2, np.where(del_ok, 3, 0)))
+        i = i - (diag_ok | ins_ok)
+        b = np.where(ins_ok, b + 1, np.where(del_ok, b - 1, b))
+    start = (i + b - k).astype(np.int64)  # i == 0 here: window start of alignment
+
+    cigars = []
+    sym = "?MID"
+    for qi in range(Q):
+        row = ops[qi][ops[qi] != 0][::-1]  # reverse: traceback ran end -> start
+        if row.size == 0:
+            cigars.append("")
+            continue
+        cut = np.nonzero(np.diff(row))[0]
+        runs = np.diff(np.r_[-1, cut, row.size - 1])
+        vals = row[np.r_[cut, row.size - 1]]
+        cigars.append("".join(f"{r}{sym[v]}" for r, v in zip(runs, vals)))
+    return dist, start, cigars
+
+
 # ---------------------------------------------------------------- host oracle
 
 def edit_distance_semiglobal_host(read: np.ndarray, window: np.ndarray) -> int:

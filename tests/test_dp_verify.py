@@ -120,3 +120,36 @@ def test_gather_windows():
     assert np.array_equal(w[2], codes[17:33])
     assert np.all(w[0, :3] == 4) and np.array_equal(w[0, 3:], codes[:13])
     assert np.array_equal(w[3, :10], codes[990:]) and np.all(w[3, 10:] == 4)
+
+
+def test_traceback_banded_batch_matches_full_host():
+    """Band traceback (batched) == full-matrix host traceback for mapped
+    reads (dist <= k): same dist, start and CIGAR (M>I>D preference)."""
+    import numpy as np
+
+    from genome_weaver_align_tpu.ops import dp
+
+    rng = np.random.default_rng(42)
+    k, L = 4, 80
+    W = L + 3 * k
+    Q = 150
+    wins = rng.integers(0, 4, size=(Q, W)).astype(np.int64)
+    reads = np.zeros((Q, L), np.int64)
+    for q in range(Q):
+        seq = list(wins[q, k : k + L + 6])
+        for _ in range(rng.integers(0, 5)):
+            t = rng.integers(0, 3)
+            p = int(rng.integers(0, len(seq) - 8))
+            if t == 0:
+                seq[p] = (seq[p] + rng.integers(1, 4)) % 4
+            elif t == 1:
+                seq.insert(p, int(rng.integers(0, 4)))
+            else:
+                del seq[p]
+        reads[q] = seq[:L]
+    lengths = np.full(Q, L, np.int64)
+    dist_b, start_b, cig_b = dp.traceback_banded_batch(reads, lengths, wins, k)
+    for q in range(Q):
+        d, s, _, c = dp.traceback_semiglobal_host(reads[q], wins[q])
+        if d <= k:
+            assert (int(dist_b[q]), int(start_b[q]), cig_b[q]) == (d, s, c), q
