@@ -194,7 +194,6 @@ def bench_pipeline(metrics):
 
     from genome_weaver_align_tpu.index.files import Genome, GenomeIndex
     from genome_weaver_align_tpu.models.pipeline import SuffixFilterAligner
-    from genome_weaver_align_tpu.utils.fasta import Read
 
     codes, fm = build_or_load_index(CHR20, tag="chr20_r8", sample_rate=8)
     genome = Genome(
@@ -218,32 +217,34 @@ def bench_pipeline(metrics):
     rarr, true_pos, true_strand = sim_sub_reads(
         codes, PIPE_BATCH * PIPE_BATCHES, 100, seed=3, max_subs=2
     )
-    reads = [Read(f"r{i}", rarr[i]) for i in range(rarr.shape[0])]
+    rarr = rarr.astype(np.int8)
+    batch_lengths = np.full(PIPE_BATCH, rarr.shape[1], dtype=np.int32)
+
+    def submit(b):
+        return al.align_arrays_submit(
+            rarr[b * PIPE_BATCH : (b + 1) * PIPE_BATCH], batch_lengths
+        )
 
     # warmup batch (compile)
-    al.align_batch(reads[:PIPE_BATCH])
+    al.align_arrays_finish(submit(0))
     n_mapped = n_correct = 0
     batch_times = []
     # pipelined: submit batch b+1 before finishing batch b (host assembly
-    # overlaps device compute; jax dispatch is async)
-    pending = al.align_batch_submit(reads[:PIPE_BATCH])
+    # overlaps device compute; jax dispatch is async; array-native API —
+    # contiguous (B, L) batches, column-array results)
+    pending = submit(0)
     for b in range(PIPE_BATCHES):
         tb = time.time()
-        nxt = None
-        if b + 1 < PIPE_BATCHES:
-            nxt = al.align_batch_submit(
-                reads[(b + 1) * PIPE_BATCH : (b + 2) * PIPE_BATCH]
-            )
-        hits = al.align_batch_finish(pending)
+        nxt = submit(b + 1) if b + 1 < PIPE_BATCHES else None
+        ah = al.align_arrays_finish(pending)
         pending = nxt
         batch_times.append(time.time() - tb)
         log(f"batch {b}: {batch_times[-1]*1e3:.0f} ms, stats={al.last_stats}")
-        base = b * PIPE_BATCH
-        for i, h in enumerate(hits):
-            if h is not None:
-                n_mapped += 1
-                if h.pos == true_pos[base + i] and h.strand == true_strand[base + i]:
-                    n_correct += 1
+        sl = slice(b * PIPE_BATCH, (b + 1) * PIPE_BATCH)
+        n_mapped += int(ah.mapped.sum())
+        n_correct += int(
+            (ah.mapped & (ah.pos == true_pos[sl]) & (ah.strand == true_strand[sl])).sum()
+        )
     total = PIPE_BATCH * PIPE_BATCHES
     # Two corrections for an honest sustained rate:
     # - the TPU arrives via a shared pool, so occasional multi-second

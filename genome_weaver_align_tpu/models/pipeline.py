@@ -10,6 +10,7 @@ shape (SURVEY.md §7 "bit-identical SAM").
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import numpy as np
 
@@ -137,6 +138,44 @@ class ApproxHit:
     overflow: bool
 
 
+class ArrayHits(NamedTuple):
+    """Column-oriented batch result (array-native API).
+
+    ``cigars`` holds only the non-trivial (indel) CIGARs keyed by read index;
+    every other mapped read's CIGAR is ``f"{length}M"``.
+    """
+
+    mapped: np.ndarray  # (B,) bool
+    pos: np.ndarray  # (B,) int64, 0 where unmapped
+    strand: np.ndarray  # (B,) int64
+    dist: np.ndarray  # (B,) int64 (>k where unmapped)
+    n_good: np.ndarray  # (B,) int64
+    overflow: np.ndarray  # (B,) bool
+    lengths: np.ndarray  # (B,) int32
+    cigars: dict[int, str]
+
+
+def hits_from_arrays(ah: ArrayHits) -> list[ApproxHit | None]:
+    """ArrayHits -> per-read ApproxHit list (SAM-writer compatibility)."""
+    cigar_cache = {int(l): f"{l}M" for l in np.unique(ah.lengths)}
+    out: list[ApproxHit | None] = []
+    cols = zip(
+        ah.mapped.tolist(),
+        ah.pos.tolist(),
+        ah.strand.tolist(),
+        ah.dist.tolist(),
+        ah.n_good.tolist(),
+        ah.overflow.tolist(),
+        ah.lengths.tolist(),
+    )
+    for i, (m, p, st, d, g, o, l) in enumerate(cols):
+        if not m:
+            out.append(None)
+        else:
+            out.append(ApproxHit(p, st, d, ah.cigars.get(i, cigar_cache[l]), g, o))
+    return out
+
+
 class SuffixFilterAligner:
     """Acceptance configs 3-4: k-edit suffix-filter search + banded DP verify
     + SAM emission (the flagship pipeline; SURVEY.md §3.3)."""
@@ -260,15 +299,26 @@ class SuffixFilterAligner:
         return self.align_batch_finish(self.align_batch_submit(reads))
 
     def align_batch_submit(self, reads: list[Read]):
-        """Enqueue the device work for a batch and return a handle.
+        """List-of-Read wrapper over the array-native submit."""
+        lengths = np.array([len(r) for r in reads], dtype=np.int32)
+        verify_fwd = reads_to_batch_verify(reads)
+        return ("reads", reads, self.align_arrays_submit(verify_fwd, lengths))
+
+    def align_batch_finish(self, handle) -> list[ApproxHit | None]:
+        _, reads, inner = handle
+        return hits_from_arrays(self.align_arrays_finish(inner))
+
+    def align_arrays_submit(self, verify_fwd: np.ndarray, lengths: np.ndarray):
+        """Array-native submit: enqueue device work for a (B, L) code batch.
 
         jax dispatch is asynchronous: the fused step is enqueued without
         blocking, so a driver can submit batch N+1 before finishing batch N
-        and overlap host assembly with device compute."""
+        and overlap host assembly with device compute.  Contiguous arrays
+        end-to-end — building a 32k-read batch by stacking per-read objects
+        costs more host time than the whole device step, so streaming
+        drivers (bench, FASTQ reader) should produce arrays directly."""
         import jax.numpy as jnp
 
-        lengths = np.array([len(r) for r in reads], dtype=np.int32)
-        verify_fwd = reads_to_batch_verify(reads)
         L = verify_fwd.shape[1]
         uniform = bool(np.all(lengths == L)) and not self.use_staircase
 
@@ -292,13 +342,13 @@ class SuffixFilterAligner:
                 W=L + 3 * self.k,
                 seed_j=self.seed_j if use_seed else 0,
             )
-            return ("uniform", reads, lengths, verify_fwd, out_dev)
-        return ("general", reads, lengths, verify_fwd)
+            return ("uniform", lengths, verify_fwd, out_dev)
+        return ("general", lengths, verify_fwd)
 
-    def align_batch_finish(self, handle) -> list[ApproxHit | None]:
+    def align_arrays_finish(self, handle) -> "ArrayHits":
         kind = handle[0]
         if kind == "uniform":
-            _, reads, lengths, verify_fwd, out_dev = handle
+            _, lengths, verify_fwd, out_dev = handle
             packed = np.asarray(out_dev)  # blocks here, not at submit
             cand, dist, take_r, n_good, ovf, ham, o_min = packed
             ovf = ovf.astype(bool)
@@ -310,7 +360,7 @@ class SuffixFilterAligner:
         else:
             import jax.numpy as jnp
 
-            _, reads, lengths, verify_fwd = handle
+            _, lengths, verify_fwd = handle
             search_fwd = np.where(verify_fwd >= 4, 0, verify_fwd).astype(np.int32)
             verify_rc = revcomp_verify_batch(verify_fwd, lengths)
             search_rc = np.where(verify_rc >= 4, 0, verify_rc).astype(np.int32)
@@ -341,46 +391,28 @@ class SuffixFilterAligner:
             )
             ham, o_min = np.asarray(ham), np.asarray(o_min)
 
-        # vectorised assembly: one .tolist() per column (NumPy scalar pulls
-        # in a 16k-iteration loop are ~10x slower), shared CIGAR strings
+        # vectorised assembly: pure-substitution alignments (the fast path)
+        # resolve entirely with array ops; only indel reads need traceback
         fast = mapped & (ham == dist)
-        pos_fast = (cand - self.k + o_min).tolist()
-        ws_all = (cand - self.k).tolist()
-        cigar_cache = {l: f"{l}M" for l in np.unique(lengths)}
-        cols = zip(
-            mapped.tolist(),
-            fast.tolist(),
-            pos_fast,
-            strand.tolist(),
-            dist.tolist(),
-            n_good.tolist(),
-            np.asarray(ovf).tolist(),
-            lengths.tolist(),
-        )
-        out: list[ApproxHit | None] = []
-        slow: list[tuple[int, int, int, int]] = []  # (read idx, strand, n_good, ovf)
-        for i, (m, f, p, st, d, g, o, l) in enumerate(cols):
-            if not m:
-                out.append(None)
-            elif f:
-                out.append(ApproxHit(p, st, d, cigar_cache[l], g, o))
-            else:
-                slow.append((i, st, g, o))
-                out.append(None)  # filled by the batched traceback below
+        pos = np.where(mapped, cand - self.k + o_min, 0)
+        ws_all = cand - self.k
+        cigars: dict[int, str] = {}
 
-        if slow:
+        slow_idx = np.nonzero(mapped & ~fast)[0]
+        if slow_idx.size:
             # slow path (indels): ONE banded DP + lockstep traceback over the
             # whole cohort (ops.dp.traceback_banded_batch) — replaces the old
             # ~5 ms/read full-matrix host DP
-            S = len(slow)
-            lmax = int(max(lengths[i] for i, *_ in slow))
+            S = int(slow_idx.size)
+            lmax = int(lengths[slow_idx].max())
             Wb = lmax + 3 * self.k
             vcodes = np.zeros((S, lmax), dtype=np.int64)
             wins = np.full((S, Wb), 4, dtype=np.int64)
             lens_s = np.empty(S, dtype=np.int64)
-            for t, (i, st, _, _) in enumerate(slow):
+            for t, i in enumerate(slow_idx):
                 l = int(lengths[i])
                 lens_s[t] = l
+                st = int(strand[i])
                 if verify_rc is None:  # uniform fast path: build RC lazily
                     row = verify_fwd[i]
                     vc = (
@@ -391,19 +423,31 @@ class SuffixFilterAligner:
                 else:
                     vc = vsel[i]
                 vcodes[t, :l] = vc[:l]
-                ws = ws_all[i]
+                ws = int(ws_all[i])
                 s0 = max(0, ws)
                 seg = self.gi.fwd.extract(s0, min(self.fm.n, ws + Wb) - s0)
                 wins[t, s0 - ws : s0 - ws + seg.size] = seg
             dist_s, start_s, cig_s = dp_ops.traceback_banded_batch(
                 vcodes, lens_s, wins, self.k
             )
-            for t, (i, st, g, o) in enumerate(slow):
-                out[i] = ApproxHit(
-                    ws_all[i] + int(start_s[t]), st, int(dist_s[t]), cig_s[t], g, o
-                )
-        self.last_stats = {"n_slow_traceback": len(slow), "n_mapped": int(mapped.sum())}
-        return out
+            pos[slow_idx] = ws_all[slow_idx] + start_s
+            dist[slow_idx] = dist_s
+            for t, i in enumerate(slow_idx):
+                cigars[int(i)] = cig_s[t]
+        self.last_stats = {
+            "n_slow_traceback": int(slow_idx.size),
+            "n_mapped": int(mapped.sum()),
+        }
+        return ArrayHits(
+            mapped=mapped,
+            pos=pos,
+            strand=strand,
+            dist=dist,
+            n_good=np.asarray(n_good),
+            overflow=np.asarray(ovf),
+            lengths=np.asarray(lengths),
+            cigars=cigars,
+        )
 
     def to_sam(self, reads: list[Read], hits) -> list[sam.SamRecord]:
         recs = []
