@@ -207,10 +207,11 @@ def bench_pipeline(metrics):
     al = SuffixFilterAligner(
         gi,
         k=2,
-        max_hits_per_piece=16,
+        max_hits_per_piece=8,
         seed_table=(so, sp),
         seed_j=SEED_J,
         max_cands=12,
+        verify_slack=4,
     )
 
     log("simulating pipeline reads...")

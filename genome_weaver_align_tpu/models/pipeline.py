@@ -193,6 +193,8 @@ class SuffixFilterAligner:
         seed_j: int = 0,
         max_cands: int | None = None,  # verify lanes per read after dedup;
         # default 8 (FM path) / 4*(k+1) (seed path, which proposes a superset)
+        verify_slack: int = 6,  # batch-pooled verify budget (lanes/read avg);
+        # 0 = per-read lanes (verify_candidates); >0 = compacted verify
     ):
         import jax.numpy as jnp
 
@@ -217,6 +219,7 @@ class SuffixFilterAligner:
         if max_cands is None:
             max_cands = 4 * (k + 1) if self.seed_tab is not None else 8
         self.max_cands = max_cands
+        self.verify_slack = verify_slack
         if use_staircase:
             from . import bidirectional as bd
 
@@ -263,6 +266,28 @@ class SuffixFilterAligner:
                     kmer_full_cover=bool(self.kmer_j and min_piece >= self.kmer_j),
                     max_cands=self.max_cands,
                 )
+        if self.verify_slack and self.verify_mode == "banded":
+            import jax.numpy as jnp
+
+            dist_c, cp_c, rid_c, ovf2 = suffix_filter.verify_candidates_compact(
+                self.text_words,
+                self.fm.n,
+                jnp.asarray(verify_reads),
+                jnp.asarray(lengths),
+                cands.cand_pos,
+                self.k,
+                W,
+                slack=self.verify_slack,
+            )
+            best = suffix_filter.best_hit_compact(
+                rid_c, cp_c, dist_c, self.k, len(lengths)
+            )
+            return (
+                np.asarray(best.best_pos),
+                np.asarray(best.best_dist),
+                np.asarray(best.n_good),
+                np.asarray(cands.overflow | ovf2),
+            )
         if self.verify_mode == "myers":
             nwords = (L + 31) // 32
             dist = suffix_filter.verify_candidates_myers(
@@ -341,6 +366,7 @@ class SuffixFilterAligner:
                 max_cands=self.max_cands,
                 W=L + 3 * self.k,
                 seed_j=self.seed_j if use_seed else 0,
+                verify_slack=self.verify_slack,
             )
             return ("uniform", lengths, verify_fwd, out_dev)
         return ("general", lengths, verify_fwd)
@@ -502,6 +528,7 @@ def revcomp_verify_batch(batch: np.ndarray, lengths: np.ndarray) -> np.ndarray:
 def _fused_align_step_impl(
     fm, text_words, kmer_tab, seed_tab, verify_fwd, lengths,
     *, k, n_pieces, max_hits, kmer_j, kmer_full_cover, max_cands, W, seed_j=0,
+    verify_slack=0,
 ):
     """Whole per-batch device step in one jit: both strands, candidate
     generation, verify, cross-strand best, fast-CIGAR hamming check.
@@ -534,6 +561,15 @@ def _fused_align_step_impl(
                 kmer_tab=kmer_tab, kmer_j=kmer_j, kmer_full_cover=kmer_full_cover,
                 max_cands=max_cands,
             )
+        if verify_slack:
+            dist_c, cp_c, rid_c, ovf2 = suffix_filter.verify_candidates_compact(
+                text_words, fm.n, vcodes.astype(jnp.int32), lengths,
+                cands.cand_pos, k, W, slack=verify_slack,
+            )
+            best = suffix_filter.best_hit_compact(
+                rid_c, cp_c, dist_c, k, vcodes.shape[0]
+            )
+            return best, cands.overflow | ovf2
         dist, _ = suffix_filter.verify_candidates(
             text_words, fm.n, vcodes.astype(jnp.int32), lengths,
             cands.cand_pos, k, W,

@@ -290,6 +290,80 @@ def offset_hamming(
     return jnp.min(h, axis=1), o_min
 
 
+@partial(jax.jit, static_argnames=("k", "window_width", "slack"))
+def verify_candidates_compact(
+    text_words: jax.Array,
+    n_text,
+    reads: jax.Array,  # (B, L) verify codes (N = 4)
+    lengths: jax.Array,
+    cand_pos: jax.Array,  # (B, C) sorted, NO_CAND tail
+    k: int,
+    window_width: int,
+    slack: int = 6,
+):
+    """Banded verify over batch-compacted candidate lanes.
+
+    Candidate counts are long-tailed (most reads have ~2-4 after dedup, a
+    few have many), so a hard per-read cap either wastes verify lanes or
+    drops true candidates.  Instead the whole batch shares a budget of
+    ``B * slack`` lanes: valid candidates are compacted to the front
+    (stable argsort on validity — the same dense-work-queue trick as the
+    FM locate path) and only those lanes run the wavefront DP.  A read
+    whose candidates fall beyond the budget is overflow-flagged, never
+    silently dropped.
+
+    Returns (dist (K,), cp (K,), rid (K,), overflow (B,)) — compacted
+    lanes with their read ids, for ``best_hit_compact``.
+    """
+    B, C = cand_pos.shape
+    flat = cand_pos.reshape(-1)
+    valid = flat != NO_CAND
+    K = B * slack
+    order = jnp.argsort(jnp.logical_not(valid), axis=0, stable=True)
+    sel = order[:K]
+    rid = (sel // C).astype(jnp.int32)
+    cp = flat[sel]
+    ok = valid[sel]
+    wins = window.gather_windows(
+        text_words, n_text, jnp.where(ok, cp - k, 0), window_width
+    )
+    r = reads.astype(jnp.int8)[rid]
+    ln = lengths[rid]
+    dist, _ = dp_ops.banded_edit_distance(r, ln, wins, k)
+    dist = jnp.where(ok, dist, dp_ops.INF)
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype)
+    )
+    dropped = valid & (inv >= K)
+    overflow = jnp.any(dropped.reshape(B, C), axis=1)
+    return dist, cp, rid, overflow
+
+
+@partial(jax.jit, static_argnames=("k", "n_reads"))
+def best_hit_compact(
+    rid: jax.Array, cp: jax.Array, dist: jax.Array, k: int, n_reads: int
+) -> VerifyResult:
+    """Deterministic per-read best over compacted lanes via scatter-min.
+
+    Order matches ``best_hit``: lexicographic (dist, pos), dist <= k only.
+    Two scatter-mins avoid packing (dist, pos) into one word, so there is
+    no genome-size limit.
+    """
+    good = dist <= k
+    dkey = jnp.where(good, dist, dp_ops.INF)
+    best_dist = jnp.full((n_reads,), dp_ops.INF, dist.dtype).at[rid].min(dkey)
+    pkey = jnp.where(good & (dist == best_dist[rid]), cp, NO_CAND)
+    best_pos = jnp.full((n_reads,), NO_CAND, cp.dtype).at[rid].min(pkey)
+    n_good = jnp.zeros((n_reads,), jnp.int32).at[rid].add(good.astype(jnp.int32))
+    has = n_good > 0
+    return VerifyResult(
+        jnp.where(has, best_pos, -1),
+        jnp.where(has, best_dist, dp_ops.INF),
+        jnp.zeros((n_reads,), jnp.int32),  # lane index is meaningless here
+        n_good,
+    )
+
+
 @partial(jax.jit, static_argnames=("k",))
 def best_hit(cand_pos: jax.Array, dist: jax.Array, k: int) -> VerifyResult:
     """Deterministic best: min (dist, pos); only dist <= k counts.

@@ -146,3 +146,57 @@ def test_full_sa_exact_aligner_identity(gi):
         assert h is not None
         if h.n_hits == 1:
             assert h.pos == s.true_pos and h.strand == s.true_strand
+
+
+def test_compact_verify_identity(gi):
+    """Batch-compacted verify + scatter-min best == per-read verify + argmin
+    best on the same candidates (budget not exceeded)."""
+    import jax.numpy as jnp
+
+    from genome_weaver_align_tpu.models import suffix_filter
+    from genome_weaver_align_tpu.ops import rank
+
+    dfm = rank.from_host(gi.fwd)
+    text_words = jnp.asarray(gi.fwd.text_words)
+    sims = simulate.simulate_reads(
+        gi.genome.codes, n_reads=64, read_len=100, seed=21, sub_rate=0.02, max_subs=2
+    )
+    reads = np.stack([s.read.codes for s in sims]).astype(np.int32)
+    lengths = np.full(len(sims), 100, np.int32)
+    k, W = 2, 106
+    cands = suffix_filter.pigeonhole_candidates(
+        dfm, jnp.asarray(reads), jnp.asarray(lengths), 3, max_hits=8, max_cands=8
+    )
+    dist, _ = suffix_filter.verify_candidates(
+        text_words, gi.fwd.n, jnp.asarray(reads), jnp.asarray(lengths),
+        cands.cand_pos, k, W,
+    )
+    plain = suffix_filter.best_hit(cands.cand_pos, dist, k)
+    dist_c, cp_c, rid_c, ovf2 = suffix_filter.verify_candidates_compact(
+        text_words, gi.fwd.n, jnp.asarray(reads), jnp.asarray(lengths),
+        cands.cand_pos, k, W, slack=6,
+    )
+    comp = suffix_filter.best_hit_compact(rid_c, cp_c, dist_c, k, len(sims))
+    assert not bool(np.asarray(ovf2).any())
+    assert np.array_equal(np.asarray(plain.best_pos), np.asarray(comp.best_pos))
+    assert np.array_equal(np.asarray(plain.best_dist), np.asarray(comp.best_dist))
+    assert np.array_equal(np.asarray(plain.n_good), np.asarray(comp.n_good))
+
+
+def test_compact_verify_budget_overflow_flag(gi):
+    """Exceeding the pooled budget flags overflow (never silent)."""
+    import jax.numpy as jnp
+
+    from genome_weaver_align_tpu.models import suffix_filter
+
+    text_words = jnp.asarray(gi.fwd.text_words)
+    B, C = 8, 8
+    # all reads fully loaded with candidates; slack=2 -> budget 16 < 64
+    cand = jnp.tile(jnp.arange(C, dtype=jnp.int32)[None, :] * 64, (B, 1))
+    reads = jnp.zeros((B, 50), jnp.int32)
+    lengths = jnp.full((B,), 50, jnp.int32)
+    _, _, _, ovf = suffix_filter.verify_candidates_compact(
+        text_words, gi.fwd.n, reads, lengths, cand, 2, 56, slack=2,
+    )
+    ovf = np.asarray(ovf)
+    assert ovf.any() and not ovf[:2].any()  # first reads fit, later overflow
