@@ -39,6 +39,28 @@ class CandidateResult(NamedTuple):
 NO_CAND = jnp.int32(2**30)
 
 
+def compact_lanes(valid: jax.Array, K: int):
+    """Stable indices of the first K True lanes — O(n) cumsum + scatter
+    (an argsort here costs O(n log n) on the TPU sort unit and dominated
+    the compaction stages).
+
+    Returns (sel (K,) int32 source indices — lanes past the valid count
+    point out of range, so scatters *from* them must mask with ``ok``;
+    ok (K,) bool; dropped (n,) bool — valid lanes beyond the budget).
+    """
+    n = valid.shape[0]
+    slot = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    tgt = jnp.where(valid, slot, K)  # invalid -> out of range, dropped
+    sel = jnp.full((K,), n, jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    total = slot[-1] + 1 if n else jnp.int32(0)
+    ok = jnp.arange(K, dtype=jnp.int32) < total
+    sel = jnp.where(ok, sel, 0)  # safe to gather from; mask with ok
+    dropped = valid & (slot >= K)
+    return sel, ok, dropped
+
+
 def _piece_bounds(lengths: jax.Array, n_pieces: int):
     """Equal-split piece boundaries [s_i, e_i) per read (reference's split
     scheduling: floor(i*len/p))."""
@@ -134,17 +156,12 @@ def pigeonhole_candidates(
     rows_flat = jnp.clip(rows, 0, fm.n).reshape(-1)
     valid_flat = valid.reshape(-1)
     K = B * n_pieces * locate_slack
-    order = jnp.argsort(jnp.logical_not(valid_flat), axis=0, stable=True)
-    sel = order[:K]
+    sel, ok, dropped = compact_lanes(valid_flat, K)
     pos_sel = rank.locate(fm, rows_flat[sel])
-    pos_flat = jnp.zeros_like(rows_flat).at[sel].set(pos_sel)
-    inv_rank = jnp.zeros_like(order).at[order].set(
-        jnp.arange(order.shape[0], dtype=order.dtype)
-    )
-    located = (inv_rank < K).reshape(rows.shape)
-    overflow = overflow | jnp.any(
-        (valid & ~located).reshape(B, -1), axis=1
-    )
+    sel_tgt = jnp.where(ok, sel, rows_flat.shape[0])
+    pos_flat = jnp.zeros_like(rows_flat).at[sel_tgt].set(pos_sel, mode="drop")
+    located = (valid_flat & ~dropped).reshape(rows.shape)
+    overflow = overflow | jnp.any(dropped.reshape(B, -1), axis=1)
     pos = pos_flat.reshape(rows.shape)
 
     cand = jnp.where(valid & located, pos - s[:, :, None], NO_CAND)
@@ -319,11 +336,9 @@ def verify_candidates_compact(
     flat = cand_pos.reshape(-1)
     valid = flat != NO_CAND
     K = B * slack
-    order = jnp.argsort(jnp.logical_not(valid), axis=0, stable=True)
-    sel = order[:K]
+    sel, ok, dropped = compact_lanes(valid, K)
     rid = (sel // C).astype(jnp.int32)
     cp = flat[sel]
-    ok = valid[sel]
     wins = window.gather_windows(
         text_words, n_text, jnp.where(ok, cp - k, 0), window_width
     )
@@ -331,10 +346,6 @@ def verify_candidates_compact(
     ln = lengths[rid]
     dist, _ = dp_ops.banded_edit_distance(r, ln, wins, k)
     dist = jnp.where(ok, dist, dp_ops.INF)
-    inv = jnp.zeros_like(order).at[order].set(
-        jnp.arange(order.shape[0], dtype=order.dtype)
-    )
-    dropped = valid & (inv >= K)
     overflow = jnp.any(dropped.reshape(B, C), axis=1)
     return dist, cp, rid, overflow
 
