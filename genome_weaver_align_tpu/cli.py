@@ -124,6 +124,19 @@ def _cmd_align(args) -> int:
             **kmer_kwargs,
         )
 
+    # array streaming: uniform unpaired FASTQ goes straight to (B, L) arrays
+    # (object batches cost more host time than the device step)
+    base = args.reads[:-3] if args.reads.endswith(".gz") else args.reads
+    if (
+        base.endswith((".fq", ".fastq"))
+        and not args.interleaved
+        and not args.paired
+        and args.mode in ("auto", "pigeonhole")
+        and args.k > 0
+        and args.n_interval == 1
+    ):
+        return _align_array_stream(args, gi, aligner, sw)
+
     reads = list(iter_reads(args.reads))
     paired = None
     if args.interleaved:
@@ -214,6 +227,102 @@ def _cmd_align(args) -> int:
             "reads_per_s": round(total / max(dt, 1e-9), 1),
             "wall_s": round(dt, 3),
             "mode": mode,
+            "k": args.k,
+            "batch_size": bs,
+        }
+        with open(args.report, "w") as fh:
+            fh.write(json.dumps(report, indent=1))
+        sw.lap(f"report -> {args.report}")
+    return 0
+
+
+def _align_array_stream(args, gi, aligner, sw) -> int:
+    """Array-native align loop: FASTQ -> (B, L) code batches -> ArrayHits.
+
+    Two-phase (submit N+1 before finish N) so host parsing/SAM assembly
+    overlaps device compute; per-read objects are only materialised for
+    SAM emission."""
+    import json
+
+    from .models.pipeline import hits_from_arrays
+    from .utils.fasta import Read, read_fastq_arrays
+    from .utils.log import profile_to
+    from .utils.sam import write_sam
+
+    names, codes, quals, lengths = read_fastq_arrays(args.reads)
+    total = len(names)
+    sw.lap(f"loaded {total} reads (array parse)")
+
+    progress_path = (args.out + ".progress") if args.out != "-" else None
+    start_batch = 0
+    if args.resume and progress_path and os.path.exists(progress_path):
+        start_batch = json.loads(open(progress_path).read()).get("batches_done", 0)
+        sw.lap(f"resuming at batch {start_batch}")
+
+    bs = args.batch_size
+    n_batches = (total + bs - 1) // bs
+    records = []
+    n_mapped = 0
+    t0 = time.time()
+
+    def submit(b):
+        sl = slice(b * bs, (b + 1) * bs)
+        return aligner.align_arrays_submit(
+            codes[sl].astype(np.int8), lengths[sl]
+        )
+
+    with profile_to(args.profile):
+        pending = None
+        for b in range(start_batch, n_batches):
+            nxt = submit(b)
+            if pending is None:
+                pending = (b, nxt)
+                continue
+            pb, ph = pending
+            pending = (b, nxt)
+            ah = aligner.align_arrays_finish(ph)
+            n_mapped += int(ah.mapped.sum())
+            records.append((pb, ah))
+            if progress_path:
+                with open(progress_path, "w") as fh:
+                    fh.write(json.dumps({"batches_done": pb + 1}))
+        if pending is not None:
+            pb, ph = pending
+            ah = aligner.align_arrays_finish(ph)
+            n_mapped += int(ah.mapped.sum())
+            records.append((pb, ah))
+            if progress_path:
+                with open(progress_path, "w") as fh:
+                    fh.write(json.dumps({"batches_done": pb + 1}))
+    dt = time.time() - t0
+    sw.lap(f"aligned: {n_mapped}/{total} mapped, {total/max(dt,1e-9):.0f} reads/s")
+
+    # SAM emission: materialise per-read objects batch by batch
+    sam_records = []
+    for pb, ah in records:
+        sl = slice(pb * bs, (pb + 1) * bs)
+        batch_reads = [
+            Read(names[i], codes[i, : lengths[i]], quals[i, : lengths[i]])
+            for i in range(sl.start, min(sl.stop, total))
+        ]
+        sam_records.extend(aligner.to_sam(batch_reads, hits_from_arrays(ah)))
+
+    hdr = aligner.sam_header()
+    if args.out == "-":
+        sys.stdout.write(hdr + "\n")
+        for r in sam_records:
+            sys.stdout.write(r.line() + "\n")
+    else:
+        write_sam(args.out, hdr, sam_records)
+        sw.lap(f"wrote {args.out}")
+    if args.report:
+        report = {
+            "reads": total,
+            "mapped": n_mapped,
+            "proper_pairs": None,
+            "reads_per_s": round(total / max(dt, 1e-9), 1),
+            "wall_s": round(dt, 3),
+            "mode": "pigeonhole",
             "k": args.k,
             "batch_size": bs,
         }

@@ -91,6 +91,51 @@ def iter_reads(path) -> Iterator[Read]:
             yield Read(c.name, c.codes, None)
 
 
+_ENC_LUT = np.full(256, 4, np.uint8)
+for _i, _c in enumerate("ACGT"):
+    _ENC_LUT[ord(_c)] = _i
+    _ENC_LUT[ord(_c.lower())] = _i
+
+
+def read_fastq_arrays(path):
+    """Whole-file vectorised FASTQ parse -> contiguous arrays.
+
+    Returns (names list[str], codes (B, L) uint8 0..4, quals (B, L) int32
+    or None, lengths (B,) int32).  Building a batch by stacking per-read
+    objects costs more than the aligner's device step (see
+    models.pipeline.align_arrays_submit), so streaming drivers parse
+    straight into (B, L) arrays; non-uniform lengths pad with 0/qual 0.
+    """
+    with _open(path) as fh:
+        lines = fh.read().splitlines()
+    if not lines:
+        return [], np.zeros((0, 0), np.uint8), None, np.zeros(0, np.int32)
+    assert len(lines) % 4 == 0, "truncated FASTQ"
+    names = [l[1:].split()[0] for l in lines[0::4]]
+    seqs = lines[1::4]
+    quals = lines[3::4]
+    B = len(seqs)
+    lengths = np.fromiter((len(s) for s in seqs), np.int32, B)
+    L = int(lengths.max())
+    if bool((lengths == L).all()):
+        codes = _ENC_LUT[
+            np.frombuffer("".join(seqs).encode(), np.uint8).reshape(B, L)
+        ]
+        qarr = (
+            np.frombuffer("".join(quals).encode(), np.uint8)
+            .reshape(B, L)
+            .astype(np.int32)
+            - 33
+        )
+    else:
+        codes = np.zeros((B, L), np.uint8)
+        qarr = np.zeros((B, L), np.int32)
+        for i, (s, q) in enumerate(zip(seqs, quals)):
+            codes[i, : len(s)] = _ENC_LUT[np.frombuffer(s.encode(), np.uint8)]
+            qarr[i, : len(q)] = np.frombuffer(q.encode(), np.uint8).astype(np.int32) - 33
+    return names, codes, qarr, lengths
+
+
 def write_fastq(path, reads: list[Read]) -> None:
     with open(path, "w") as fh:
         for r in reads:
