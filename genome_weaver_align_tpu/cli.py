@@ -108,7 +108,13 @@ def _cmd_align(args) -> int:
     if args.n_interval > 1:
         from .parallel.sharded_pipeline import ShardedAligner
 
-        aligner = ShardedAligner(gi, k=args.k, n_interval=args.n_interval)
+        aligner = ShardedAligner(
+            gi,
+            k=args.k,
+            n_interval=args.n_interval,
+            seed_table=kmer_kwargs.get("seed_table"),
+            seed_j=kmer_kwargs.get("seed_j", 0),
+        )
     elif mode == "exact":
         aligner = ExactAligner(gi)
     elif mode == "onemm":

@@ -95,6 +95,189 @@ def local_gather_windows(tx: ShardedText, starts, width: int):
     return jnp.where(own, codes, 0), own.astype(jnp.int32)
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ShardedSeedTable:
+    """CSR seed table sharded by k-mer range (the seed-path analogue of
+    BWT-interval sharding, SURVEY.md P2): shard s owns buckets
+    [k_lo[s], k_hi[s]) and their positions slice.  Each shard's memory is
+    ~1/S of the table — the scaling mode for genomes whose positions array
+    exceeds one chip's HBM."""
+
+    offsets: jax.Array  # (S, nb_local + 1) int32 — local bucket starts
+    positions: jax.Array  # (S, max_local) int32 — global genome positions
+    k_lo: jax.Array  # (S,) int32 — first owned k-mer
+    k_hi: jax.Array  # (S,) int32
+    j: int = dataclasses.field(metadata=dict(static=True))
+
+
+def shard_seed_table(
+    offsets: np.ndarray, positions: np.ndarray, j: int, n_shards: int
+) -> ShardedSeedTable:
+    nk = offsets.size - 1
+    assert nk == 4**j
+    per = -(-nk // n_shards)
+    max_local = 0
+    parts = []
+    for s in range(n_shards):
+        k0, k1 = min(s * per, nk), min((s + 1) * per, nk)
+        off = offsets[k0 : k1 + 1].astype(np.int64)
+        pos = positions[off[0] : off[-1]]
+        parts.append((k0, k1, (off - off[0]).astype(np.int32), pos))
+        max_local = max(max_local, pos.size)
+    off_arr = np.zeros((n_shards, per + 1), np.int32)
+    pos_arr = np.zeros((n_shards, max(max_local, 1)), np.int32)
+    k_lo = np.zeros(n_shards, np.int32)
+    k_hi = np.zeros(n_shards, np.int32)
+    for s, (k0, k1, off, pos) in enumerate(parts):
+        off_arr[s, : off.size] = off
+        off_arr[s, off.size :] = off[-1]
+        pos_arr[s, : pos.size] = pos
+        k_lo[s], k_hi[s] = k0, k1
+    return ShardedSeedTable(
+        jnp.asarray(off_arr), jnp.asarray(pos_arr), jnp.asarray(k_lo),
+        jnp.asarray(k_hi), j,
+    )
+
+
+def seed_specs(axis: str, like: ShardedSeedTable):
+    from jax.sharding import PartitionSpec as P
+
+    return dataclasses.replace(
+        like, offsets=P(axis), positions=P(axis), k_lo=P(axis), k_hi=P(axis)
+    )
+
+
+def put_seed(st: ShardedSeedTable, mesh, axis: str) -> ShardedSeedTable:
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    put = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis)))
+    return dataclasses.replace(
+        st,
+        offsets=put(st.offsets),
+        positions=put(st.positions),
+        k_lo=put(st.k_lo),
+        k_hi=put(st.k_hi),
+    )
+
+
+def _squeeze_seed(st: ShardedSeedTable) -> ShardedSeedTable:
+    return dataclasses.replace(
+        st,
+        offsets=st.offsets[0],
+        positions=st.positions[0],
+        k_lo=st.k_lo[0],
+        k_hi=st.k_hi[0],
+    )
+
+
+def make_sharded_seed_align(
+    mesh,
+    interval_axis: str,
+    data_axis: str,
+    *,
+    like_seed: ShardedSeedTable,
+    like_text: ShardedText,
+    max_len: int,
+    k: int,
+    max_hits: int = 16,
+):
+    """Seed-path sharded align step: candidate generation needs ONE psum
+    (owner-computes over the k-mer range) and no locate collectives — the
+    communication-light counterpart of make_sharded_pigeonhole_align."""
+    from jax.sharding import PartitionSpec as P
+
+    n_pieces = k + 1
+    n_interval = mesh.shape[interval_axis]
+    W = max_len + 3 * k
+    j = like_seed.j
+
+    def local_fn(st, tx, reads, lengths):
+        st = _squeeze_seed(st)
+        tx = _squeeze_text(tx)
+        B, L = reads.shape
+        bounds = sf._piece_bounds(lengths, n_pieces)
+        s, e = bounds[:, :-1], bounds[:, 1:]
+
+        # 1. seed lookup — owner contributes, ONE psum merges
+        idx = jnp.zeros((B, n_pieces), jnp.int32)
+        for t in range(j):
+            pos_t = jnp.clip(e - j + t, 0)
+            c = jnp.take_along_axis(reads, pos_t, axis=1)
+            idx = (idx << 2) | c
+        mine = (idx >= st.k_lo) & (idx < st.k_hi)
+        idx_loc = jnp.clip(idx - st.k_lo, 0, st.offsets.shape[0] - 2)
+        off2 = st.offsets[idx_loc[..., None] + jnp.arange(2, dtype=jnp.int32)]
+        start, end = off2[..., 0], off2[..., 1]
+        width_part = jnp.where(mine, end - start, 0)
+        slots = start[..., None] + jnp.arange(max_hits, dtype=jnp.int32)
+        valid_l = mine[..., None] & (slots < end[..., None])
+        hit = st.positions[jnp.clip(slots, 0, st.positions.shape[0] - 1)]
+        cand_part = jnp.where(valid_l, hit - (e - j)[..., None], 0)
+        merged = jax.lax.psum(
+            jnp.concatenate(
+                [cand_part.reshape(B, -1), width_part], axis=1
+            ),
+            interval_axis,
+        )
+        cand_all = merged[:, : n_pieces * max_hits].reshape(B, n_pieces, max_hits)
+        width = merged[:, n_pieces * max_hits :]
+        overflow = jnp.any(width > max_hits, axis=1)
+        valid = jnp.arange(max_hits, dtype=jnp.int32)[None, None, :] < width[..., None]
+        cand = jnp.where(valid, cand_all, sf.NO_CAND).reshape(B, -1)
+
+        # 2. dedup (local, identical on every member)
+        cand = jnp.sort(cand, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1
+        )
+        cand = jnp.sort(jnp.where(dup, sf.NO_CAND, cand), axis=1)
+        C = cand.shape[1]
+
+        # 3. windows owner-computes + psum (same as the FM sharded path)
+        Cs = -(-C // n_interval)
+        me = jax.lax.axis_index(interval_axis)
+        pad = Cs * n_interval - C
+        cand_p = jnp.concatenate(
+            [cand, jnp.full((B, pad), sf.NO_CAND, jnp.int32)], axis=1
+        )
+        Cp = cand_p.shape[1]
+        invalid_all = cand_p == sf.NO_CAND
+        ws_all = jnp.where(invalid_all, 0, cand_p - k).reshape(-1)
+        part, own = local_gather_windows(tx, ws_all, W)
+        wins = jax.lax.psum(jnp.stack([part, own]), interval_axis)
+        codes_all = jnp.where(wins[1] > 0, wins[0], 4).reshape(B, Cp, W)
+
+        # 4. verify MY slice of the candidate axis
+        my_codes = jax.lax.dynamic_slice_in_dim(codes_all, me * Cs, Cs, axis=1)
+        invalid = jax.lax.dynamic_slice_in_dim(invalid_all, me * Cs, Cs, axis=1)
+        r = jnp.repeat(reads.astype(jnp.int8), Cs, axis=0)
+        ln = jnp.repeat(lengths, Cs)
+        dist, _ = dp_ops.banded_edit_distance(
+            r, ln, my_codes.reshape(B * Cs, W).astype(jnp.int8), k
+        )
+        dist = jnp.where(invalid, dp_ops.INF, dist.reshape(B, Cs))
+        dist_all = jax.lax.all_gather(dist, interval_axis, axis=1, tiled=True)
+
+        # 5. best hit (deterministic)
+        best = sf.best_hit(cand_p, dist_all, k)
+        return best.best_pos, best.best_dist, best.n_good, overflow
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            seed_specs(interval_axis, like_seed),
+            text_specs(interval_axis, like_text),
+            P(data_axis),
+            P(data_axis),
+        ),
+        out_specs=(P(data_axis), P(data_axis), P(data_axis), P(data_axis)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def make_sharded_pigeonhole_align(
     mesh,
     interval_axis: str,
@@ -210,7 +393,16 @@ class ShardedAligner:
     single-device aligner (host keeps the full genome for windows).
     """
 
-    def __init__(self, gi, k: int = 2, n_interval: int = 2, max_hits: int = 8, devices=None):
+    def __init__(
+        self,
+        gi,
+        k: int = 2,
+        n_interval: int = 2,
+        max_hits: int = 8,
+        devices=None,
+        seed_table=None,  # (offsets, positions) from index.seedtable
+        seed_j: int = 0,
+    ):
         import jax.numpy as jnp
 
         from . import mesh as pmesh
@@ -218,9 +410,20 @@ class ShardedAligner:
         self.gi = gi
         self.k = k
         self.mesh = pmesh.make_mesh(n_interval=n_interval, devices=devices)
-        self.sh = si.put_sharded(
-            si.shard_fm_index(gi.fwd, n_interval), self.mesh, pmesh.INTERVAL_AXIS
-        )
+        self.sst = None
+        self.seed_j = 0
+        if seed_table is not None and seed_j > 0:
+            self.sst = put_seed(
+                shard_seed_table(seed_table[0], seed_table[1], seed_j, n_interval),
+                self.mesh,
+                pmesh.INTERVAL_AXIS,
+            )
+            self.seed_j = seed_j
+            self.sh = None  # FM shards not needed on the seed path
+        else:
+            self.sh = si.put_sharded(
+                si.shard_fm_index(gi.fwd, n_interval), self.mesh, pmesh.INTERVAL_AXIS
+            )
         self.tx = put_text(
             shard_text(gi.fwd.text_words, gi.fwd.n, n_interval),
             self.mesh,
@@ -233,16 +436,29 @@ class ShardedAligner:
 
     def _fn(self, L):
         if L not in self._fns:
-            self._fns[L] = make_sharded_pigeonhole_align(
-                self.mesh,
-                self._pmesh.INTERVAL_AXIS,
-                self._pmesh.DATA_AXIS,
-                like_index=self.sh,
-                like_text=self.tx,
-                max_len=L,
-                k=self.k,
-                max_hits=self.max_hits,
-            )
+            if self.sst is not None and L // (self.k + 1) >= self.seed_j:
+                self._fns[L] = make_sharded_seed_align(
+                    self.mesh,
+                    self._pmesh.INTERVAL_AXIS,
+                    self._pmesh.DATA_AXIS,
+                    like_seed=self.sst,
+                    like_text=self.tx,
+                    max_len=L,
+                    k=self.k,
+                    max_hits=self.max_hits,
+                )
+            else:
+                assert self.sh is not None, "short reads need the FM sharded path"
+                self._fns[L] = make_sharded_pigeonhole_align(
+                    self.mesh,
+                    self._pmesh.INTERVAL_AXIS,
+                    self._pmesh.DATA_AXIS,
+                    like_index=self.sh,
+                    like_text=self.tx,
+                    max_len=L,
+                    k=self.k,
+                    max_hits=self.max_hits,
+                )
         return self._fns[L]
 
     def align_batch(self, reads):
@@ -259,10 +475,12 @@ class ShardedAligner:
         L = vf.shape[1]
         fn = self._fn(L)
 
+        use_seed = self.sst is not None and L // (self.k + 1) >= self.seed_j
+        tab = self.sst if use_seed else self.sh
         res = []
         for batch in (np.where(vf >= 4, 0, vf), np.where(vrc >= 4, 0, vrc)):
             r, l, B = self._pmesh.shard_reads(self.mesh, batch.astype(np.int32), lengths)
-            bp, bd, ng, ovf = fn(self.sh, self.tx, r, l)
+            bp, bd, ng, ovf = fn(tab, self.tx, r, l)
             res.append(
                 tuple(np.asarray(x)[: len(reads)] for x in (bp, bd, ng, ovf))
             )
