@@ -78,7 +78,9 @@ def banded_edit_distance(
     j_end = lengths[:, None] + boff[None, :]
     valid_end = (j_end >= 0) & (j_end <= W)
     Df = jnp.where(valid_end, D, INF)
-    dist = jnp.min(Df, axis=1)
+    # clamp unreachable lanes to exactly INF (garbage accumulates +1s above
+    # it); keeps engines (jnp / Pallas int16) bit-identical on dead lanes
+    dist = jnp.minimum(jnp.min(Df, axis=1), INF)
     end_b = jnp.argmin(Df, axis=1).astype(jnp.int32)
     return dist, end_b
 
