@@ -251,13 +251,8 @@ def _align_array_stream(args, gi, aligner, sw) -> int:
     import json
 
     from .models.pipeline import hits_from_arrays
-    from .utils.fasta import Read, read_fastq_arrays
+    from .utils.fasta import Read, iter_fastq_array_batches
     from .utils.log import profile_to
-    from .utils.sam import write_sam
-
-    names, codes, quals, lengths = read_fastq_arrays(args.reads)
-    total = len(names)
-    sw.lap(f"loaded {total} reads (array parse)")
 
     progress_path = (args.out + ".progress") if args.out != "-" else None
     start_batch = 0
@@ -265,61 +260,56 @@ def _align_array_stream(args, gi, aligner, sw) -> int:
         start_batch = json.loads(open(progress_path).read()).get("batches_done", 0)
         sw.lap(f"resuming at batch {start_batch}")
 
+    # bounded memory end-to-end (ADVICE r1): parse batch_size reads at a
+    # time, keep at most two batches in flight (submit N+1 before finish N
+    # so host parsing/SAM assembly overlaps device compute), emit SAM
+    # incrementally
     bs = args.batch_size
-    n_batches = (total + bs - 1) // bs
-    records = []
+    batches = iter_fastq_array_batches(args.reads, bs)
+    total = 0
     n_mapped = 0
     t0 = time.time()
 
-    def submit(b):
-        sl = slice(b * bs, (b + 1) * bs)
-        return aligner.align_arrays_submit(
-            codes[sl].astype(np.int8), lengths[sl]
-        )
+    out_fh = sys.stdout if args.out == "-" else open(args.out, "w")
+    out_fh.write(aligner.sam_header() + "\n")
+
+    def emit(pb, ah, names, codes, quals, lengths):
+        nonlocal n_mapped
+        n_mapped += int(ah.mapped.sum())
+        batch_reads = [
+            Read(names[i], codes[i, : lengths[i]], quals[i, : lengths[i]])
+            for i in range(len(names))
+        ]
+        for rec in aligner.to_sam(batch_reads, hits_from_arrays(ah)):
+            out_fh.write(rec.line() + "\n")
+        if progress_path:
+            with open(progress_path, "w") as fh:
+                fh.write(json.dumps({"batches_done": pb + 1}))
 
     with profile_to(args.profile):
         pending = None
-        for b in range(start_batch, n_batches):
-            nxt = submit(b)
-            if pending is None:
-                pending = (b, nxt)
+        for b, (names, codes, quals, lengths) in enumerate(batches):
+            total += len(names)
+            if b < start_batch:
                 continue
-            pb, ph = pending
-            pending = (b, nxt)
-            ah = aligner.align_arrays_finish(ph)
-            n_mapped += int(ah.mapped.sum())
-            records.append((pb, ah))
-            if progress_path:
-                with open(progress_path, "w") as fh:
-                    fh.write(json.dumps({"batches_done": pb + 1}))
+            nxt = (
+                b,
+                aligner.align_arrays_submit(codes.astype(np.int8), lengths),
+                names, codes, quals, lengths,
+            )
+            if pending is None:
+                pending = nxt
+                continue
+            pb, ph, pn, pc, pq, pl = pending
+            pending = nxt
+            emit(pb, aligner.align_arrays_finish(ph), pn, pc, pq, pl)
         if pending is not None:
-            pb, ph = pending
-            ah = aligner.align_arrays_finish(ph)
-            n_mapped += int(ah.mapped.sum())
-            records.append((pb, ah))
-            if progress_path:
-                with open(progress_path, "w") as fh:
-                    fh.write(json.dumps({"batches_done": pb + 1}))
+            pb, ph, pn, pc, pq, pl = pending
+            emit(pb, aligner.align_arrays_finish(ph), pn, pc, pq, pl)
     dt = time.time() - t0
     sw.lap(f"aligned: {n_mapped}/{total} mapped, {total/max(dt,1e-9):.0f} reads/s")
-
-    # SAM emission: materialise per-read objects batch by batch
-    sam_records = []
-    for pb, ah in records:
-        sl = slice(pb * bs, (pb + 1) * bs)
-        batch_reads = [
-            Read(names[i], codes[i, : lengths[i]], quals[i, : lengths[i]])
-            for i in range(sl.start, min(sl.stop, total))
-        ]
-        sam_records.extend(aligner.to_sam(batch_reads, hits_from_arrays(ah)))
-
-    hdr = aligner.sam_header()
-    if args.out == "-":
-        sys.stdout.write(hdr + "\n")
-        for r in sam_records:
-            sys.stdout.write(r.line() + "\n")
-    else:
-        write_sam(args.out, hdr, sam_records)
+    if args.out != "-":
+        out_fh.close()
         sw.lap(f"wrote {args.out}")
     if args.report:
         report = {

@@ -252,7 +252,7 @@ def verify_candidates(
     )
     r = jnp.repeat(reads.astype(jnp.int8), C, axis=0)
     ln = jnp.repeat(lengths, C)
-    dist, end_b = dp_ops.banded_edit_distance(r, ln, wins, k)
+    dist, end_b = dp_ops.banded_edit_distance_best(r, ln, wins, k)
     dist = dist.reshape(B, C)
     dist = jnp.where(invalid, dp_ops.INF, dist)
     return dist, end_b.reshape(B, C)
@@ -344,7 +344,7 @@ def verify_candidates_compact(
     )
     r = reads.astype(jnp.int8)[rid]
     ln = lengths[rid]
-    dist, _ = dp_ops.banded_edit_distance(r, ln, wins, k)
+    dist, _ = dp_ops.banded_edit_distance_best(r, ln, wins, k)
     dist = jnp.where(ok, dist, dp_ops.INF)
     overflow = jnp.any(dropped.reshape(B, C), axis=1)
     return dist, cp, rid, overflow

@@ -85,6 +85,25 @@ def banded_edit_distance(
     return dist, end_b
 
 
+def banded_edit_distance_best(
+    reads: jax.Array, lengths: jax.Array, windows: jax.Array, k: int
+):
+    """Backend-dispatched banded verify: Pallas wavefront kernel on TPU,
+    jnp wavefront on CPU (bit-identical dist; end_b may differ on dead
+    lanes, where both are garbage).  The Pallas kernel is ~3-7x faster
+    in-graph on v5e (measured round 2); interpret-mode on CPU would be
+    slower than the jnp engine, hence the trace-time switch."""
+    if jax.default_backend() != "cpu":
+        from . import dp_pallas
+
+        Q = reads.shape[0]
+        lanes = min(2048, -(-Q // 128) * 128)
+        return dp_pallas.banded_edit_distance_pallas(
+            reads, lengths, windows, k, lanes=lanes
+        )
+    return banded_edit_distance(reads, lengths, windows, k)
+
+
 @partial(jax.jit, static_argnames=("max_len",))
 def hamming_distance(
     reads: jax.Array, lengths: jax.Array, windows: jax.Array, offset: int | jax.Array, max_len: int | None = None

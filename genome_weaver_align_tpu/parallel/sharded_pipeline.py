@@ -253,7 +253,7 @@ def make_sharded_seed_align(
         invalid = jax.lax.dynamic_slice_in_dim(invalid_all, me * Cs, Cs, axis=1)
         r = jnp.repeat(reads.astype(jnp.int8), Cs, axis=0)
         ln = jnp.repeat(lengths, Cs)
-        dist, _ = dp_ops.banded_edit_distance(
+        dist, _ = dp_ops.banded_edit_distance_best(
             r, ln, my_codes.reshape(B * Cs, W).astype(jnp.int8), k
         )
         dist = jnp.where(invalid, dp_ops.INF, dist.reshape(B, Cs))
@@ -355,7 +355,7 @@ def make_sharded_pigeonhole_align(
         invalid = jax.lax.dynamic_slice_in_dim(invalid_all, me * Cs, Cs, axis=1)
         r = jnp.repeat(reads.astype(jnp.int8), Cs, axis=0)
         ln = jnp.repeat(lengths, Cs)
-        dist, _ = dp_ops.banded_edit_distance(
+        dist, _ = dp_ops.banded_edit_distance_best(
             r, ln, my_codes.reshape(B * Cs, W).astype(jnp.int8), k
         )
         dist = dist.reshape(B, Cs)
@@ -419,11 +419,12 @@ class ShardedAligner:
                 pmesh.INTERVAL_AXIS,
             )
             self.seed_j = seed_j
-            self.sh = None  # FM shards not needed on the seed path
-        else:
-            self.sh = si.put_sharded(
-                si.shard_fm_index(gi.fwd, n_interval), self.mesh, pmesh.INTERVAL_AXIS
-            )
+        # FM shards are always built: batches whose shortest read has pieces
+        # < seed_j fall back to them (a seed-only aligner would silently miss
+        # short reads — ADVICE r1 high)
+        self.sh = si.put_sharded(
+            si.shard_fm_index(gi.fwd, n_interval), self.mesh, pmesh.INTERVAL_AXIS
+        )
         self.tx = put_text(
             shard_text(gi.fwd.text_words, gi.fwd.n, n_interval),
             self.mesh,
@@ -434,10 +435,11 @@ class ShardedAligner:
         self._pmesh = pmesh
         self._text_jnp = jnp.asarray(gi.fwd.text_words)
 
-    def _fn(self, L):
-        if L not in self._fns:
-            if self.sst is not None and L // (self.k + 1) >= self.seed_j:
-                self._fns[L] = make_sharded_seed_align(
+    def _fn(self, L, use_seed: bool):
+        key = (L, use_seed)
+        if key not in self._fns:
+            if use_seed:
+                self._fns[key] = make_sharded_seed_align(
                     self.mesh,
                     self._pmesh.INTERVAL_AXIS,
                     self._pmesh.DATA_AXIS,
@@ -449,7 +451,7 @@ class ShardedAligner:
                 )
             else:
                 assert self.sh is not None, "short reads need the FM sharded path"
-                self._fns[L] = make_sharded_pigeonhole_align(
+                self._fns[key] = make_sharded_pigeonhole_align(
                     self.mesh,
                     self._pmesh.INTERVAL_AXIS,
                     self._pmesh.DATA_AXIS,
@@ -459,7 +461,7 @@ class ShardedAligner:
                     k=self.k,
                     max_hits=self.max_hits,
                 )
-        return self._fns[L]
+        return self._fns[key]
 
     def align_batch(self, reads):
         from ..models.pipeline import (
@@ -473,9 +475,13 @@ class ShardedAligner:
         vf = reads_to_batch_verify(reads)
         vrc = revcomp_verify_batch(vf, lengths)
         L = vf.shape[1]
-        fn = self._fn(L)
 
-        use_seed = self.sst is not None and L // (self.k + 1) >= self.seed_j
+        # gate the seed path on the SHORTEST read's pieces (batch-max gating
+        # made short reads in mixed batches take last-j-mers across piece
+        # boundaries, breaking pigeonhole completeness — ADVICE r1 high)
+        min_piece = int(lengths.min()) // (self.k + 1)
+        use_seed = self.sst is not None and min_piece >= self.seed_j
+        fn = self._fn(L, use_seed)
         tab = self.sst if use_seed else self.sh
         res = []
         for batch in (np.where(vf >= 4, 0, vf), np.where(vrc >= 4, 0, vrc)):
@@ -510,30 +516,51 @@ class ShardedAligner:
         )
         ham, o_min = np.asarray(ham), np.asarray(o_min)
 
+        # batched indel tail — the SAME lockstep banded traceback as the
+        # single-device aligner (ops.dp.traceback_banded_batch), replacing the
+        # old ~5 ms/read full-matrix host DP (VERDICT r1 weak-#5); SAM bytes
+        # are identical whatever the mesh
+        fast = mapped & (ham == dist)
+        ws_all = cand - self.k
+        pos = np.where(mapped, ws_all + o_min, 0)
+        cigars: dict[int, str] = {}
+        slow_idx = np.nonzero(mapped & ~fast)[0]
+        if slow_idx.size:
+            S = int(slow_idx.size)
+            lmax = int(lengths[slow_idx].max())
+            Wb = lmax + 3 * self.k
+            vcodes = np.zeros((S, lmax), dtype=np.int64)
+            wins = np.full((S, Wb), 4, dtype=np.int64)
+            lens_s = np.empty(S, dtype=np.int64)
+            for t, i in enumerate(slow_idx):
+                l = int(lengths[i])
+                lens_s[t] = l
+                vcodes[t, :l] = vsel[i, :l]
+                ws = int(ws_all[i])
+                s0 = max(0, ws)
+                seg = self.gi.fwd.extract(s0, min(self.gi.fwd.n, ws + Wb) - s0)
+                wins[t, s0 - ws : s0 - ws + seg.size] = seg
+            dist_s, start_s, cig_s = dp_ops.traceback_banded_batch(
+                vcodes, lens_s, wins, self.k
+            )
+            # clamp: a traceback beginning in the left pad of a window that
+            # overhangs the genome start must not yield a negative coordinate
+            pos[slow_idx] = np.maximum(ws_all[slow_idx] + start_s, 0)
+            dist[slow_idx] = dist_s
+            for t, i in enumerate(slow_idx):
+                cigars[int(i)] = cig_s[t]
+
         out = []
         for i in range(len(reads)):
             if not mapped[i]:
                 out.append(None)
                 continue
-            l = int(lengths[i])
-            ws = int(cand[i]) - self.k
-            if ham[i] == dist[i]:
-                out.append(
-                    ApproxHit(
-                        ws + int(o_min[i]), int(strand[i]), int(dist[i]),
-                        f"{l}M", int(nf[i] + nr[i]), bool(of[i] or orr[i]),
-                    )
-                )
-                continue
-            codes = vsel[i, :l].astype(np.int64)
-            win = self.gi.fwd.extract(ws, l + 3 * self.k).astype(np.int64)
-            d2, start, _, cigar = dp_ops.traceback_semiglobal_host(codes, win)
             out.append(
                 ApproxHit(
-                    max(0, ws) + start,
+                    int(pos[i]),
                     int(strand[i]),
-                    int(d2),
-                    cigar,
+                    int(dist[i]),
+                    cigars.get(i, f"{int(lengths[i])}M"),
                     int(nf[i] + nr[i]),
                     bool(of[i] or orr[i]),
                 )

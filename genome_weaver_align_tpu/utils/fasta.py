@@ -97,25 +97,26 @@ for _i, _c in enumerate("ACGT"):
     _ENC_LUT[ord(_c.lower())] = _i
 
 
-def read_fastq_arrays(path):
-    """Whole-file vectorised FASTQ parse -> contiguous arrays.
+def _parse_fastq_lines(lines):
+    """4-line FASTQ records -> (names, codes (B, L), quals (B, L), lengths).
 
-    Returns (names list[str], codes (B, L) uint8 0..4, quals (B, L) int32
-    or None, lengths (B,) int32).  Building a batch by stacking per-read
-    objects costs more than the aligner's device step (see
-    models.pipeline.align_arrays_submit), so streaming drivers parse
-    straight into (B, L) arrays; non-uniform lengths pad with 0/qual 0.
+    Vectorised: uniform-length records parse with two frombuffer/reshape
+    calls; non-uniform lengths pad with 0 (qual 0).
     """
-    with _open(path) as fh:
-        lines = fh.read().splitlines()
-    if not lines:
-        return [], np.zeros((0, 0), np.uint8), None, np.zeros(0, np.int32)
-    assert len(lines) % 4 == 0, "truncated FASTQ"
+    if len(lines) % 4 != 0:
+        raise ValueError(f"truncated FASTQ: {len(lines)} lines is not a multiple of 4")
     names = [l[1:].split()[0] for l in lines[0::4]]
     seqs = lines[1::4]
     quals = lines[3::4]
     B = len(seqs)
     lengths = np.fromiter((len(s) for s in seqs), np.int32, B)
+    qlens = np.fromiter((len(q) for q in quals), np.int32, B)
+    if not bool((qlens == lengths).all()):
+        i = int(np.nonzero(qlens != lengths)[0][0])
+        raise ValueError(
+            f"FASTQ record {names[i]!r}: qual length {qlens[i]} != seq length "
+            f"{lengths[i]} (truncated file?)"
+        )
     L = int(lengths.max())
     if bool((lengths == L).all()):
         codes = _ENC_LUT[
@@ -133,6 +134,50 @@ def read_fastq_arrays(path):
         for i, (s, q) in enumerate(zip(seqs, quals)):
             codes[i, : len(s)] = _ENC_LUT[np.frombuffer(s.encode(), np.uint8)]
             qarr[i, : len(q)] = np.frombuffer(q.encode(), np.uint8).astype(np.int32) - 33
+    return names, codes, qarr, lengths
+
+
+def iter_fastq_array_batches(path, batch_size: int):
+    """Bounded-memory vectorised FASTQ parse (ADVICE r1: the whole-file
+    slurp needed several times the file size in host RAM).
+
+    Reads 4*batch_size lines at a time and yields
+    (names, codes (B, L) uint8, quals (B, L) int32, lengths (B,) int32)
+    per batch — the streaming producer for the CLI array-native align loop.
+    """
+    import itertools
+
+    with _open(path) as fh:
+        while True:
+            lines = [l.rstrip("\n") for l in itertools.islice(fh, 4 * batch_size)]
+            if not lines:
+                return
+            yield _parse_fastq_lines(lines)
+
+
+def read_fastq_arrays(path, batch_size: int = 1 << 18):
+    """Whole-file vectorised FASTQ parse -> contiguous arrays.
+
+    Returns (names list[str], codes (B, L) uint8 0..4, quals (B, L) int32
+    or None, lengths (B,) int32).  Parses in bounded chunks (see
+    ``iter_fastq_array_batches``); only the final arrays are whole-file.
+    """
+    parts = list(iter_fastq_array_batches(path, batch_size))
+    if not parts:
+        return [], np.zeros((0, 0), np.uint8), None, np.zeros(0, np.int32)
+    if len(parts) == 1:
+        return parts[0]
+    names = [n for p in parts for n in p[0]]
+    lengths = np.concatenate([p[3] for p in parts])
+    L = int(max(p[1].shape[1] for p in parts))
+    B = len(names)
+    codes = np.zeros((B, L), np.uint8)
+    qarr = np.zeros((B, L), np.int32)
+    at = 0
+    for _, c, q, ln in parts:
+        codes[at : at + c.shape[0], : c.shape[1]] = c
+        qarr[at : at + q.shape[0], : q.shape[1]] = q
+        at += c.shape[0]
     return names, codes, qarr, lengths
 
 

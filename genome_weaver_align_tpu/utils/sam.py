@@ -51,7 +51,11 @@ class SamRecord:
         return "\t".join(fields)
 
 
-def unmapped(read_name: str, codes: np.ndarray, qual=None) -> SamRecord:
+def unmapped(read_name: str, codes: np.ndarray, qual=None, overflow: bool = False) -> SamRecord:
+    # XO:i:1 marks reads whose search budget overflowed (candidate or verify
+    # lanes) — "unmapped because dropped" is distinguishable from "genuinely
+    # unmapped" in the output (ADVICE r1 medium)
+    tags = (("XO", "i", "1"),) if overflow else ()
     return SamRecord(
         qname=read_name,
         flag=FLAG_UNMAPPED,
@@ -61,6 +65,7 @@ def unmapped(read_name: str, codes: np.ndarray, qual=None) -> SamRecord:
         cigar="*",
         seq=dna.decode(codes),
         qual=_qual_str(qual, codes.size),
+        tags=tags,
     )
 
 
@@ -92,6 +97,8 @@ def mapped(
     mapq: int = 37,
     qual=None,
     n_hits: int | None = None,
+    overflow: bool = False,
+    score: int | None = None,
 ) -> SamRecord:
     seq_codes = dna.revcomp(codes) if strand else codes
     q = _qual_str(qual, codes.size)
@@ -99,10 +106,14 @@ def mapped(
         q = q[::-1]
     tags = [
         ("NM", "i", str(edit_distance)),
-        ("AS", "i", str(alignment_score(cigar, edit_distance))),
+        # AS from the scored aligner when available; CIGAR+NM formula as the
+        # fallback (VERDICT r1 missing-#3)
+        ("AS", "i", str(alignment_score(cigar, edit_distance) if score is None else score)),
     ]
     if n_hits is not None:
         tags.append(("X0", "i", str(n_hits)))
+    if overflow:
+        tags.append(("XO", "i", "1"))
     return SamRecord(
         qname=read_name,
         flag=FLAG_REVERSE if strand else 0,

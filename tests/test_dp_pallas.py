@@ -1,5 +1,7 @@
 """Pallas wavefront DP kernel (interpreter mode on CPU) vs. the jnp version."""
 
+import os
+
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -51,3 +53,47 @@ def test_pallas_planted(k=2):
     got = np.asarray(got)
     sel = expect <= k
     assert np.array_equal(got[sel], expect[sel])
+
+
+def test_pallas_rejects_saturating_length():
+    # guard trips at trace time, before any buffers are materialised
+    Q, L, k = 1, 1 << 20, 2
+    z32 = np.zeros((Q, L), np.int32)
+    with pytest.raises(ValueError, match="saturate"):
+        dp_pallas.banded_edit_distance_pallas(
+            jnp.asarray(z32),
+            jnp.asarray(np.full(Q, L, np.int32)),
+            jnp.asarray(np.zeros((Q, L + 3 * k), np.int32)),
+            k,
+            interpret=True,
+        )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("GWA_TEST_TPU"), reason="set GWA_TEST_TPU=1 to run on hardware"
+)
+@pytest.mark.parametrize("k,Q,L", [(2, 600, 100), (4, 256, 150)])
+def test_pallas_on_tpu_hardware(k, Q, L):
+    """Compiled (Mosaic) kernel on the real chip, bit-identical to jnp.
+
+    Round-1 verdict: the interpreter-only kernel failed Mosaic compilation
+    (unaligned dynamic sublane slice); this gate keeps the hardware path
+    honest."""
+    import jax
+
+    assert jax.devices()[0].platform != "cpu"
+    rng = np.random.default_rng(k * 1000 + Q)
+    W = L + 3 * k
+    reads = rng.integers(0, 4, size=(Q, L)).astype(np.int32)
+    wins = rng.integers(0, 5, size=(Q, W)).astype(np.int32)
+    lengths = rng.integers(L // 2, L + 1, size=Q).astype(np.int32)
+    for i in range(0, Q, 2):  # plant half the reads
+        l = int(lengths[i])
+        wins[i, k : k + l] = reads[i, :l]
+    want, _ = dp.banded_edit_distance(
+        jnp.asarray(reads), jnp.asarray(lengths), jnp.asarray(wins), k
+    )
+    got, _ = dp_pallas.banded_edit_distance_pallas(
+        jnp.asarray(reads), jnp.asarray(lengths), jnp.asarray(wins), k
+    )
+    assert np.array_equal(np.asarray(got), np.asarray(want))

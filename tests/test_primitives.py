@@ -61,3 +61,50 @@ def test_bitvector_rank(n):
     if n:
         idx = np.arange(n)
         assert np.array_equal(bv.get(idx), bits)
+
+
+def test_fastq_array_batches_roundtrip(tmp_path):
+    """Chunked vectorised FASTQ parse == per-read parse, uniform and ragged
+    lengths, across chunk boundaries (ADVICE r1: bounded-memory array path)."""
+    from genome_weaver_align_tpu.utils import dna
+    from genome_weaver_align_tpu.utils.fasta import (
+        Read,
+        iter_fastq_array_batches,
+        read_fastq_arrays,
+        write_fastq,
+    )
+
+    rng = np.random.default_rng(9)
+    for tag, lens in (("uniform", [50] * 23), ("ragged", [30, 50, 41, 50, 7] * 5)):
+        reads = [
+            Read(
+                f"r{i}",
+                rng.integers(0, 5, size=l).astype(np.uint8),
+                rng.integers(0, 40, size=l).astype(np.int32),
+            )
+            for i, l in enumerate(lens)
+        ]
+        path = tmp_path / f"{tag}.fq"
+        write_fastq(path, reads)
+
+        # chunked iterator: 7 reads/batch exercises a ragged final chunk
+        seen = 0
+        for names, codes, quals, lengths in iter_fastq_array_batches(path, 7):
+            assert len(names) <= 7
+            for j in range(len(names)):
+                i = seen + j
+                l = int(lengths[j])
+                assert names[j] == f"r{i}"
+                assert l == lens[i]
+                assert np.array_equal(codes[j, :l], reads[i].codes)
+                assert np.array_equal(quals[j, :l], reads[i].qual)
+            seen += len(names)
+        assert seen == len(reads)
+
+        # whole-file wrapper stitches multiple chunks (batch_size=7 forces it)
+        names, codes, quals, lengths = read_fastq_arrays(path, batch_size=7)
+        assert names == [r.name for r in reads]
+        for i, r in enumerate(reads):
+            l = int(lengths[i])
+            assert np.array_equal(codes[i, :l], r.codes)
+            assert np.array_equal(quals[i, :l], r.qual)

@@ -173,3 +173,61 @@ def test_sharded_aligner_seed_sam_identity():
     recs_a = [r.line() for r in single.to_sam(reads, single.align_batch(reads))]
     recs_b = [r.line() for r in sharded.to_sam(reads, sharded.align_batch(reads))]
     assert recs_a == recs_b
+
+
+def test_sharded_aligner_mixed_length_seed_gating():
+    """Mixed-length batches must gate the seed path on the SHORTEST read
+    (ADVICE r1 high: batch-max gating silently unmapped short reads whose
+    last-j-mers crossed piece boundaries), and all-short batches must fall
+    back to the FM shards instead of crashing."""
+    from genome_weaver_align_tpu.index import seedtable
+    from genome_weaver_align_tpu.index.files import Genome, build_genome_index
+    from genome_weaver_align_tpu.models.pipeline import SuffixFilterAligner
+    from genome_weaver_align_tpu.utils.fasta import Contig, Read
+
+    rng = np.random.default_rng(77)
+    genome = Genome.from_contigs(
+        [Contig("chrM", rng.integers(0, 4, size=20000, dtype=np.uint8))]
+    )
+    gi = build_genome_index(genome, sample_rate=16)
+    j, k = 8, 2
+    offsets, positions = seedtable.build_seed_table(genome.codes, j)
+
+    def make_read(name, L, n_sub):
+        p = int(rng.integers(0, genome.codes.size - L))
+        r = genome.codes[p : p + L].astype(np.uint8).copy()
+        for _ in range(n_sub):
+            at = int(rng.integers(0, L))
+            r[at] = (r[at] + 1 + rng.integers(0, 3)) % 4
+        return Read(name, r, None), p
+
+    mixed, true_pos = [], []
+    for i in range(8):
+        rd, p = make_read(f"short{i}", 20, 2)
+        mixed.append(rd)
+        true_pos.append(p)
+    for i in range(8):
+        rd, p = make_read(f"long{i}", 100, 2)
+        mixed.append(rd)
+        true_pos.append(p)
+
+    single = SuffixFilterAligner(
+        gi, k=k, max_hits_per_piece=16, seed_table=(offsets, positions), seed_j=j
+    )
+    sharded = sp.ShardedAligner(
+        gi, k=k, n_interval=2, max_hits=16, seed_table=(offsets, positions), seed_j=j
+    )
+    hs = single.align_batch(mixed)
+    hd = sharded.align_batch(mixed)
+    for a, b in zip(hs, hd):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert (a.pos, a.strand, a.dist) == (b.pos, b.strand, b.dist)
+    # the short reads specifically must not be silently unmapped
+    n_short_mapped = sum(1 for h in hd[:8] if h is not None)
+    assert n_short_mapped == sum(1 for h in hs[:8] if h is not None)
+
+    # all-short batch: uses the FM fallback path, must not raise
+    shorts = mixed[:8]
+    hd2 = sharded.align_batch(shorts)
+    assert [h is not None for h in hd2] == [h is not None for h in hd[:8]]

@@ -111,3 +111,51 @@ def test_unmappable_read(gi):
     al = SuffixFilterAligner(gi, k=2)
     hits = al.align_batch([r])
     assert hits[0] is None
+
+def test_overflow_fallback_repetitive_genome():
+    """Budget-overflowed reads rerun through the 4x fallback pass instead of
+    silently losing candidates (VERDICT r1 missing-#7 / ADVICE r1 medium).
+
+    A tandem-repeat genome makes every piece hit dozens of loci, so tiny
+    max_hits/verify_slack budgets overflow; with the fallback the unique
+    suffix still maps each read to its true locus."""
+    from genome_weaver_align_tpu.utils.fasta import Read
+
+    rng = np.random.default_rng(23)
+    unit = rng.integers(0, 4, size=200, dtype=np.uint8)
+    unique = rng.integers(0, 4, size=20000, dtype=np.uint8)
+    codes = np.concatenate([np.tile(unit, 40), unique])
+    genome = Genome.from_contigs([Contig("rep", codes)])
+    gidx = build_genome_index(genome, sample_rate=16)
+
+    # reads inside the repeat region: every piece hits ~40 loci, overflowing
+    # tiny budgets; one planted substitution per read
+    L, k = 90, 2
+    starts = 2000 + np.arange(12) * 37
+    reads = []
+    for i, p in enumerate(starts):
+        r = codes[p : p + L].astype(np.uint8).copy()
+        at = int(rng.integers(10, L - 10))
+        r[at] = (r[at] + 1 + rng.integers(0, 3)) % 4
+        reads.append(Read(f"rep{i}", r, None))
+
+    base = SuffixFilterAligner(
+        gidx, k=k, max_hits_per_piece=2, max_cands=3, verify_slack=1,
+        overflow_fallback=False,
+    )
+    hb = base.align_batch(reads)
+    n_stress = sum(1 for h in hb if h is None or h.overflow)
+    assert n_stress > 0, "test genome failed to stress the budgets"
+
+    fb = SuffixFilterAligner(
+        gidx, k=k, max_hits_per_piece=2, max_cands=3, verify_slack=1,
+        overflow_fallback=True,
+    )
+    hf = fb.align_batch(reads)
+    assert "n_overflow_fallback" in fb.last_stats
+    # fallback result must dominate: every read the base pass mapped stays
+    # mapped, and nothing regresses to a worse distance
+    for a, b in zip(hb, hf):
+        if a is not None:
+            assert b is not None
+            assert b.dist <= a.dist
