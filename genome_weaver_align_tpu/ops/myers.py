@@ -136,3 +136,67 @@ def myers_semiglobal(
 
     _, _, _, best = jax.lax.fori_loop(0, steps, body, (pv0, mv0, score0, best0))
     return best
+
+
+def myers_semiglobal_end(
+    reads: jax.Array,  # (Q, L) int32 codes; >=4 never matches
+    lengths: jax.Array,  # (Q,)
+    windows: jax.Array,  # (Q, W) int32 codes; >=4 never matches
+    nwords: int,
+    max_window: int | None = None,
+):
+    """Like ``myers_semiglobal`` but also returns the best end column.
+
+    end (Q,) is the *exclusive* window end position of the first (smallest)
+    argmin — the deterministic tie-break shared with the banded engines.
+    Used by batched paired-end mate rescue to center a narrow traceback band
+    without a per-read device dispatch (VERDICT r1 weak-#6)."""
+    Q, L = reads.shape
+    W = windows.shape[1]
+    steps = W if max_window is None else max_window
+    eq = build_eq(reads, lengths, nwords)
+
+    last = lengths - 1
+    last_word = last // 32
+    last_bit = (last % 32).astype(jnp.uint32)
+    word_idx = jnp.arange(nwords, dtype=jnp.int32)[None, :]
+    last_mask = jnp.where(
+        word_idx == last_word[:, None], ONE << last_bit[:, None], ZERO
+    )
+
+    pv0 = jnp.full((Q, nwords), FULL)
+    mv0 = jnp.zeros((Q, nwords), jnp.uint32)
+    score0 = lengths.astype(jnp.int32)
+    best0 = lengths.astype(jnp.int32)
+    end0 = jnp.zeros((Q,), jnp.int32)
+
+    def body(t, state):
+        pv, mv, score, best, end = state
+        c = windows[:, t]
+        peq = jnp.where(
+            (c < 4)[:, None, None],
+            jnp.take_along_axis(eq, jnp.clip(c, 0, 3)[:, None, None], axis=1),
+            ZERO,
+        )[:, 0]
+        x0 = peq | mv
+        d0 = (_add_with_carry(peq & pv, pv) ^ pv) | x0
+        hn = pv & d0
+        hp = mv | ~(pv | d0)
+        score = (
+            score
+            + jnp.sum(jnp.where((hp & last_mask) != 0, 1, 0), axis=1)
+            - jnp.sum(jnp.where((hn & last_mask) != 0, 1, 0), axis=1)
+        )
+        zero_fill = jnp.zeros((Q,), jnp.uint32)
+        xs = _shl1_or(hp, zero_fill)
+        mv = xs & d0
+        pv = _shl1_or(hn, zero_fill) | ~(xs | d0)
+        better = score < best  # strict: ties keep the earliest end
+        end = jnp.where(better, t + 1, end)
+        best = jnp.minimum(best, score)
+        return pv, mv, score, best, end
+
+    _, _, _, best, end = jax.lax.fori_loop(
+        0, steps, body, (pv0, mv0, score0, best0, end0)
+    )
+    return best, end

@@ -431,6 +431,8 @@ class ShardedAligner:
             pmesh.INTERVAL_AXIS,
         )
         self.max_hits = max_hits
+        self.scored = True  # same scored affine indel tail as the
+        # single-device aligner (SAM byte-identity across mesh shapes)
         self._fns = {}
         self._pmesh = pmesh
         self._text_jnp = jnp.asarray(gi.fwd.text_words)
@@ -524,6 +526,7 @@ class ShardedAligner:
         ws_all = cand - self.k
         pos = np.where(mapped, ws_all + o_min, 0)
         cigars: dict[int, str] = {}
+        aux: dict[int, tuple[int, int]] = {}
         slow_idx = np.nonzero(mapped & ~fast)[0]
         if slow_idx.size:
             S = int(slow_idx.size)
@@ -549,12 +552,23 @@ class ShardedAligner:
             dist[slow_idx] = dist_s
             for t, i in enumerate(slow_idx):
                 cigars[int(i)] = cig_s[t]
+            if self.scored:
+                from ..ops import affine
+
+                sc_s, astart_s, acig_s, nm_s = affine.affine_banded_batch(
+                    vcodes, lens_s, wins, self.k
+                )
+                pos[slow_idx] = np.maximum(ws_all[slow_idx] + astart_s, 0)
+                for t, i in enumerate(slow_idx):
+                    cigars[int(i)] = acig_s[t]
+                    aux[int(i)] = (int(sc_s[t]), int(nm_s[t]))
 
         out = []
         for i in range(len(reads)):
             if not mapped[i]:
                 out.append(None)
                 continue
+            score, nm = aux.get(int(i), (None, None))
             out.append(
                 ApproxHit(
                     int(pos[i]),
@@ -563,6 +577,8 @@ class ShardedAligner:
                     cigars.get(i, f"{int(lengths[i])}M"),
                     int(nf[i] + nr[i]),
                     bool(of[i] or orr[i]),
+                    score,
+                    nm,
                 )
             )
         return out
