@@ -186,7 +186,44 @@ def _dedupe_cands(cand: jax.Array, overflow: jax.Array, max_cands: int | None):
     return CandidateResult(cand, n, overflow)
 
 
-@partial(jax.jit, static_argnames=("n_pieces", "j", "max_hits", "max_cands"))
+# rare-seed probing: j-mer probe positions per pigeonhole piece.  Repeat
+# copies flood a FIXED j-mer's bucket (the round-2 repeat-genome bench
+# measured 14% of reads lost to budget truncation); a read's private
+# variants make SOME j-mer within the piece rare, and ANY j-mer inside an
+# error-free piece still matches exactly at the true locus — so picking the
+# rarest of a few probes preserves pigeonhole completeness while dodging
+# the flood (same idea as minimizer/rare-seed selection in modern aligners).
+SEED_PROBES = 4
+
+
+def _seed_probe_idx(reads, s, e, j: int, n_probes: int):
+    """j-mer values + start offsets for ``n_probes`` positions per piece.
+
+    Probe r starts at s + floor(avail * r / (R-1)) with avail = e - j - s;
+    the last probe is the piece-end-anchored j-mer (the round-1 behavior,
+    so n_probes=1 degenerates to it).  Returns (idx, jstart) both
+    (B, P, R) int32.  Deterministic: ties in bucket width resolve to the
+    lowest probe index in every pipeline."""
+    outs_idx, outs_start = [], []
+    avail = jnp.maximum(e - j - s, 0)
+    for r in range(n_probes):
+        if n_probes > 1:
+            st = s + (avail * r) // (n_probes - 1)
+        else:
+            st = s + avail
+        idx = jnp.zeros(st.shape, jnp.int32)
+        for t in range(j):
+            c = jnp.take_along_axis(reads, jnp.clip(st + t, 0), axis=1)
+            idx = (idx << 2) | c
+        outs_idx.append(idx)
+        outs_start.append(st)
+    return jnp.stack(outs_idx, axis=2), jnp.stack(outs_start, axis=2)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_pieces", "j", "max_hits", "max_cands", "n_probes"),
+)
 def seed_candidates(
     offsets: jax.Array,  # (4^j + 1,) int32 CSR bucket starts
     positions: jax.Array,  # (n - j + 1,) int32 positions grouped by j-mer
@@ -196,24 +233,29 @@ def seed_candidates(
     j: int,
     max_hits: int = 16,
     max_cands: int | None = None,
+    n_probes: int = SEED_PROBES,
 ) -> CandidateResult:
     """Candidate loci via the CSR seed table (index.seedtable) — no backward
-    search, no LF locate: per piece ONE offsets-pair gather + ONE positions
-    slice gather.  Complete for <=k-edit alignments by pigeonhole (an exact
-    piece implies its last-j-mer is exact); extra diagonals are a verified
-    superset.  Caller guarantees every piece length >= j.
+    search, no LF locate: per piece ``n_probes`` offsets-pair gathers (bucket
+    widths) + ONE positions slice gather for the rarest probe.  Complete for
+    <=k-edit alignments by pigeonhole (an exact piece implies every j-mer
+    inside it is exact); extra diagonals are a verified superset.  Caller
+    guarantees every piece length >= j.
     """
     B, L = reads.shape
     bounds = _piece_bounds(lengths, n_pieces)
     s, e = bounds[:, :-1], bounds[:, 1:]  # (B, P)
 
-    idx = jnp.zeros((B, n_pieces), jnp.int32)
-    for t in range(j):
-        pos_t = jnp.clip(e - j + t, 0)
-        c = jnp.take_along_axis(reads, pos_t, axis=1)
-        idx = (idx << 2) | c
-    off2 = offsets[idx[..., None] + jnp.arange(2, dtype=jnp.int32)]  # (B, P, 2)
-    start, end = off2[..., 0], off2[..., 1]
+    idx, jstart = _seed_probe_idx(reads, s, e, j, n_probes)  # (B, P, R)
+    off2 = offsets[idx[..., None] + jnp.arange(2, dtype=jnp.int32)]  # (B,P,R,2)
+    start_all, end_all = off2[..., 0], off2[..., 1]
+    width_all = end_all - start_all
+    r_best = jnp.argmin(width_all, axis=2)  # first min: deterministic
+
+    def take(a):
+        return jnp.take_along_axis(a, r_best[..., None], axis=2)[..., 0]
+
+    start, end, jst = take(start_all), take(end_all), take(jstart)
     width = end - start
     overflow = jnp.any(width > max_hits, axis=1)
 
@@ -221,7 +263,7 @@ def seed_candidates(
     valid = slots < end[..., None]
     hit = positions[jnp.clip(slots, 0, positions.shape[0] - 1)]
     # diagonal: j-mer genome position minus its offset in the read
-    cand = jnp.where(valid, hit - (e - j)[..., None], NO_CAND)
+    cand = jnp.where(valid, hit - jst[..., None], NO_CAND)
     return _dedupe_cands(cand.reshape(B, n_pieces * max_hits), overflow, max_cands)
 
 

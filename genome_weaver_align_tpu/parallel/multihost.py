@@ -89,7 +89,14 @@ def gather_to_host(arrays):
         return [np.asarray(a) for a in arrays]
     from jax.experimental import multihost_utils
 
-    return [np.asarray(multihost_utils.process_allgather(a)) for a in arrays]
+    # tiled=True: the global array's shards concatenate along axis 0 in
+    # global order (not a stacked per-process axis) — required for
+    # non-fully-addressable inputs and exactly the read-order semantics
+    # the SAM writer needs
+    return [
+        np.asarray(multihost_utils.process_allgather(a, tiled=True))
+        for a in arrays
+    ]
 
 
 def stream_batches(reads: list, batch_size: int):

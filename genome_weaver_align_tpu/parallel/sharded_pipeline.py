@@ -199,29 +199,34 @@ def make_sharded_seed_align(
         bounds = sf._piece_bounds(lengths, n_pieces)
         s, e = bounds[:, :-1], bounds[:, 1:]
 
-        # 1. seed lookup — owner contributes, ONE psum merges
-        idx = jnp.zeros((B, n_pieces), jnp.int32)
-        for t in range(j):
-            pos_t = jnp.clip(e - j + t, 0)
-            c = jnp.take_along_axis(reads, pos_t, axis=1)
-            idx = (idx << 2) | c
-        mine = (idx >= st.k_lo) & (idx < st.k_hi)
+        # 1. rare-seed probe widths — each probe's k-mer has ONE owner; a
+        # small psum merges the (B, P, R) width tensor so every member picks
+        # the SAME rarest probe as the single-device path (candidate-set
+        # identity across mesh shapes)
+        idx, jstart = sf._seed_probe_idx(reads, s, e, j, sf.SEED_PROBES)
+        mine_all = (idx >= st.k_lo) & (idx < st.k_hi)
         idx_loc = jnp.clip(idx - st.k_lo, 0, st.offsets.shape[0] - 2)
         off2 = st.offsets[idx_loc[..., None] + jnp.arange(2, dtype=jnp.int32)]
-        start, end = off2[..., 0], off2[..., 1]
-        width_part = jnp.where(mine, end - start, 0)
+        start_all, end_all = off2[..., 0], off2[..., 1]
+        width_all = jax.lax.psum(
+            jnp.where(mine_all, end_all - start_all, 0), interval_axis
+        )
+        r_best = jnp.argmin(width_all, axis=2)  # first min: deterministic
+
+        def take(a):
+            return jnp.take_along_axis(a, r_best[..., None], axis=2)[..., 0]
+
+        start, end = take(start_all), take(end_all)
+        mine, jst, width = take(mine_all), take(jstart), take(width_all)
+
+        # 2. seed candidates — owner of the chosen probe contributes, ONE
+        # psum merges
         slots = start[..., None] + jnp.arange(max_hits, dtype=jnp.int32)
         valid_l = mine[..., None] & (slots < end[..., None])
         hit = st.positions[jnp.clip(slots, 0, st.positions.shape[0] - 1)]
-        cand_part = jnp.where(valid_l, hit - (e - j)[..., None], 0)
-        merged = jax.lax.psum(
-            jnp.concatenate(
-                [cand_part.reshape(B, -1), width_part], axis=1
-            ),
-            interval_axis,
-        )
-        cand_all = merged[:, : n_pieces * max_hits].reshape(B, n_pieces, max_hits)
-        width = merged[:, n_pieces * max_hits :]
+        cand_part = jnp.where(valid_l, hit - jst[..., None], 0)
+        merged = jax.lax.psum(cand_part.reshape(B, -1), interval_axis)
+        cand_all = merged.reshape(B, n_pieces, max_hits)
         overflow = jnp.any(width > max_hits, axis=1)
         valid = jnp.arange(max_hits, dtype=jnp.int32)[None, None, :] < width[..., None]
         cand = jnp.where(valid, cand_all, sf.NO_CAND).reshape(B, -1)
@@ -402,6 +407,9 @@ class ShardedAligner:
         devices=None,
         seed_table=None,  # (offsets, positions) from index.seedtable
         seed_j: int = 0,
+        overflow_fallback: bool = True,  # rerun budget-overflowed reads at 4x
+        # hit budgets — same recovery semantics as the single-device aligner,
+        # so X0/XO stay mesh-independent under repeat pressure
     ):
         import jax.numpy as jnp
 
@@ -433,6 +441,8 @@ class ShardedAligner:
         self.max_hits = max_hits
         self.scored = True  # same scored affine indel tail as the
         # single-device aligner (SAM byte-identity across mesh shapes)
+        self.overflow_fallback = overflow_fallback
+        self._fb = None
         self._fns = {}
         self._pmesh = pmesh
         self._text_jnp = jnp.asarray(gi.fwd.text_words)
@@ -581,7 +591,34 @@ class ShardedAligner:
                     nm,
                 )
             )
+        if self.overflow_fallback:
+            ovf_arr = np.asarray(of, bool) | np.asarray(orr, bool)
+            idx = np.nonzero(ovf_arr)[0]
+            if idx.size:
+                fb = self._get_fb()
+                sub = [reads[i] for i in idx]
+                # pow-2 bucket: the sharded fns retrace per batch shape
+                P = max(64, 1 << (len(sub) - 1).bit_length())
+                fh = fb.align_batch(sub + [sub[0]] * (P - len(sub)))
+                for t, i in enumerate(idx.tolist()):
+                    out[i] = fh[t]
         return out
+
+    def _get_fb(self) -> "ShardedAligner":
+        """Fallback: 4x per-piece hit budgets, same mesh/tables (shared HBM).
+
+        Mirrors SuffixFilterAligner._get_fb so overflow recovery — and hence
+        X0/XO in the SAM output — is mesh-shape-independent."""
+        if self._fb is None:
+            import copy
+
+            fb = copy.copy(self)
+            fb.max_hits = self.max_hits * 4
+            fb.overflow_fallback = False
+            fb._fb = None
+            fb._fns = {}
+            self._fb = fb
+        return self._fb
 
     def to_sam(self, reads, hits):
         from ..models.pipeline import SuffixFilterAligner

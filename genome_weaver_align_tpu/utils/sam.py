@@ -17,6 +17,14 @@ from . import dna
 FLAG_UNMAPPED = 0x4
 FLAG_REVERSE = 0x10
 
+# BWA-style multiplicity reporting cap: X0 counts above this are emitted as
+# the cap with XO:i:1 set ("X0 is a floor, not exact").  Candidate budgets
+# differ between the single-device and mesh-sharded pipelines, so exact
+# counts above the smallest budget are truncation artifacts — capping at the
+# smallest budget keeps SAM bytes identical across mesh shapes while X0
+# stays exact for every read below the cap.
+X0_CAP = 8
+
 
 @dataclass
 class SamRecord:
@@ -111,7 +119,9 @@ def mapped(
         ("AS", "i", str(alignment_score(cigar, edit_distance) if score is None else score)),
     ]
     if n_hits is not None:
-        tags.append(("X0", "i", str(n_hits)))
+        if n_hits >= X0_CAP:
+            overflow = True
+        tags.append(("X0", "i", str(min(n_hits, X0_CAP))))
     if overflow:
         tags.append(("XO", "i", "1"))
     return SamRecord(

@@ -26,6 +26,59 @@ def random_genome(n: int, seed: int = 0, gc: float = 0.5) -> np.ndarray:
     return rng.choice(4, size=n, p=[p_at, p_gc, p_gc, p_at]).astype(np.uint8)
 
 
+def repeat_genome(
+    n: int,
+    seed: int = 0,
+    interspersed_frac: float = 0.25,
+    tandem_frac: float = 0.05,
+    divergence: float = 0.05,
+    n_families: int = 8,
+) -> np.ndarray:
+    """Repeat-rich synthetic genome (VERDICT r1 weak-#3: random DNA makes the
+    seed table nearly collision-free, so candidate budgets and the overflow
+    paths are barely stressed).
+
+    Structure mimics a human chromosome's repeat landscape:
+    - *interspersed* repeats: ``n_families`` SINE/LINE-like units (150-450 bp)
+      pasted as mutated copies (``divergence`` per-base substitution rate)
+      until ~``interspersed_frac`` of the genome is covered — the Alu-style
+      many-near-identical-loci case that floods per-piece hit budgets;
+    - *tandem* repeats: satellite-like arrays (unit 10-200 bp tiled to
+      0.5-5 kb) covering ~``tandem_frac`` — the worst case for seed
+      multiplicity within one locus.
+    """
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 4, size=n, dtype=np.uint8)
+
+    fams = [
+        rng.integers(0, 4, size=int(rng.integers(150, 451)), dtype=np.uint8)
+        for _ in range(n_families)
+    ]
+    covered = 0
+    target = int(n * interspersed_frac)
+    while covered < target:
+        fam = fams[int(rng.integers(0, n_families))]
+        u = fam.size
+        copy = fam.copy()
+        mut = rng.random(u) < divergence
+        copy[mut] = (copy[mut] + rng.integers(1, 4, size=int(mut.sum()))) % 4
+        at = int(rng.integers(0, n - u))
+        g[at : at + u] = copy
+        covered += u
+
+    covered = 0
+    target = int(n * tandem_frac)
+    while covered < target:
+        u = int(rng.integers(10, 201))
+        span = int(rng.integers(500, 5001))
+        unit = rng.integers(0, 4, size=u, dtype=np.uint8)
+        at = int(rng.integers(0, n - span))
+        reps = -(-span // u)
+        g[at : at + span] = np.tile(unit, reps)[:span]
+        covered += span
+    return g
+
+
 @dataclass
 class SimRead:
     read: Read
@@ -92,6 +145,54 @@ def simulate_reads(
             )
         )
     return out
+
+
+def simulate_reads_array(
+    genome: np.ndarray,
+    n_reads: int,
+    read_len: int,
+    seed: int = 1,
+    max_subs: int = 2,
+    indel_frac: float = 0.0,
+):
+    """Vectorised bench-scale simulator (millions of reads in ms, no Python
+    per-read loop): uniform loci, both strands, 0..max_subs substitutions,
+    and at most ONE indel (insertion or deletion) in ``indel_frac`` of reads.
+
+    Returns (reads (B, L) uint8, true_pos (B,), strand (B,), has_indel (B,)).
+    An indel inside the read does not move its genome start, so true_pos
+    stays exact for accuracy checks.
+    """
+    rng = np.random.default_rng(seed)
+    B, L = n_reads, read_len
+    pos = rng.integers(0, genome.size - L - 1, size=B)
+    tmpl = genome[pos[:, None] + np.arange(L + 1)[None, :]].astype(np.uint8)
+
+    idx = np.broadcast_to(np.arange(L)[None, :], (B, L)).copy()
+    has_indel = rng.random(B) < indel_frac
+    at = rng.integers(1, L - 1, size=B)
+    is_del = rng.integers(0, 2, size=B).astype(bool) & has_indel
+    is_ins = has_indel & ~is_del
+    # deletion at `at`: skip template base at that offset
+    idx = idx + (is_del[:, None] & (idx >= at[:, None]))
+    # insertion at `at`: shift the tail right, splice a random base in
+    ins_shift = is_ins[:, None] & (idx > at[:, None])
+    reads = np.take_along_axis(tmpl, idx - ins_shift, axis=1)
+    ins_base = rng.integers(0, 4, size=B, dtype=np.uint8)
+    at_mask = is_ins[:, None] & (np.arange(L)[None, :] == at[:, None])
+    reads = np.where(at_mask, ins_base[:, None], reads)
+
+    n_sub = rng.integers(0, max_subs + 1, size=B)
+    for srow in range(1, max_subs + 1):
+        sel = np.nonzero(n_sub >= srow)[0]
+        sat = rng.integers(0, L, size=B)
+        delta = rng.integers(1, 4, size=B).astype(np.uint8)
+        reads[sel, sat[sel]] = (reads[sel, sat[sel]] + delta[sel]) % 4
+
+    strand = rng.integers(0, 2, size=B)
+    rc = (3 - reads)[:, ::-1]
+    reads = np.where(strand[:, None] == 1, rc, reads)
+    return reads, pos, strand, has_indel
 
 
 def _count(rng, read_len: int, rate: float, cap: int | None) -> int:

@@ -1,0 +1,113 @@
+"""Per-process driver for the REAL multi-process multihost test (VERDICT r1
+missing-#4): launched by tests/test_multihost.py::test_two_process_identical_sam
+as N separate interpreters with a loopback ``jax.distributed`` coordinator.
+
+Each process owns 4 virtual CPU devices; the global mesh spans 4*N devices.
+Reads are fed host-sharded (each process passes ONLY its slice, exercising
+``make_array_from_process_local_data``), aligned data-parallel under one jit,
+and gathered with ``process_allgather``; process 0 writes the SAM file.
+The parent asserts the 2-process SAM is byte-identical to the 1-process SAM.
+
+Usage: python multihost_driver.py <process_id> <num_processes> <port> <out.sam>
+"""
+
+import os
+import sys
+
+
+def main():
+    pid, nprocs, port, out = (
+        int(sys.argv[1]),
+        int(sys.argv[2]),
+        sys.argv[3],
+        sys.argv[4],
+    )
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+
+    # the axon sitecustomize overrides JAX_PLATFORMS at interpreter start;
+    # config.update is the reliable way to force the CPU backend (conftest
+    # does the same for the in-process tests)
+    jax.config.update("jax_platforms", "cpu")
+    if nprocs > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=nprocs,
+            process_id=pid,
+        )
+    assert jax.process_count() == nprocs
+    assert jax.device_count() == 4 * nprocs, jax.devices()
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from genome_weaver_align_tpu.index.files import Genome, build_genome_index
+    from genome_weaver_align_tpu.models import exact
+    from genome_weaver_align_tpu.ops import rank
+    from genome_weaver_align_tpu.parallel import mesh as pmesh
+    from genome_weaver_align_tpu.parallel import multihost as mh
+    from genome_weaver_align_tpu.utils import sam, simulate
+    from genome_weaver_align_tpu.utils.fasta import Contig
+
+    # every process builds the same tiny index deterministically (in
+    # production the serialized index is loaded per host — SURVEY.md §5.4)
+    g = simulate.random_genome(20_000, seed=21)
+    gi = build_genome_index(Genome.from_contigs([Contig("c1", g)]), sample_rate=16)
+    # index tables ride as jit closure constants -> replicated on every device
+    dfm = jax.tree_util.tree_map(np.asarray, rank.from_host(gi.fwd))
+
+    B, L = 32, 40
+    reads, _, _, _ = simulate.simulate_reads_array(g, B, L, seed=22, max_subs=0)
+    lengths = np.full(B, L, np.int32)
+
+    mesh = pmesh.make_mesh(n_data=4 * nprocs, n_interval=1)
+    info = mh.host_shard_info(B)
+    assert info.process_count == nprocs
+    local = slice(info.host_start, info.host_start + info.host_batch)
+    r, l = mh.make_global_batch(
+        mesh, reads[local].astype(np.int32), lengths[local]
+    )
+    assert r.shape == (B, L)
+
+    @jax.jit
+    def step(r, l):
+        rc = jnp.where(r < 4, 3 - r, r)[:, ::-1]
+        outs = []
+        for batch in (r, rc):
+            lo, hi = exact.exact_interval_search(dfm, batch, l)
+            p, valid = exact.locate_hits(dfm, lo, hi, max_hits=1)
+            outs.append(jnp.where(valid[:, 0], p[:, 0], jnp.int32(2**30)))
+        pf, pr = outs
+        take_r = pr < pf
+        return jnp.where(take_r, pr, pf), take_r.astype(jnp.int32)
+
+    pos_out, strand_out = step(r, l)
+    gpos, gstr = mh.gather_to_host([pos_out, strand_out])
+
+    if jax.process_index() == 0:
+        recs = []
+        for i in range(B):
+            codes = reads[i].astype(np.uint8)
+            if gpos[i] >= 2**30:
+                recs.append(sam.unmapped(f"r{i}", codes))
+            else:
+                ci, local_pos = gi.genome.coord(int(gpos[i]))
+                recs.append(
+                    sam.mapped(
+                        f"r{i}",
+                        codes,
+                        gi.genome.names[int(ci[0])],
+                        int(local_pos[0]),
+                        int(gstr[i]),
+                        f"{L}M",
+                        edit_distance=0,
+                    )
+                )
+        hdr = sam.header(gi.genome.names, gi.genome.lengths)
+        sam.write_sam(out, hdr, recs)
+    print(f"proc {pid}/{nprocs}: OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
