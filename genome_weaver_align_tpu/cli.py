@@ -22,24 +22,26 @@ import numpy as np
 def _cmd_index(args) -> int:
     from .index.build import build_fm_index
     from .index.files import Genome, GenomeIndex, save_index
+    from .utils.config import IndexConfig
     from .utils.fasta import read_fasta
     from .utils.log import StopWatch
 
+    cfg = IndexConfig.from_args(args)
     sw = StopWatch()
-    contigs = read_fasta(args.genome)
+    contigs = read_fasta(cfg.genome)
     genome = Genome.from_contigs(contigs)
     sw.lap(f"loaded {len(contigs)} contig(s), {genome.n} bp")
 
     def sa_for(codes):
-        if args.builder == "numpy":
+        if cfg.builder == "numpy":
             from .index.sais import suffix_array
 
             return suffix_array(codes)
-        if args.builder == "native":
+        if cfg.builder == "native":
             from .index.native import suffix_array_native
 
             return suffix_array_native(codes)
-        if args.builder == "device":
+        if cfg.builder == "device":
             from .index.device_build import suffix_array_device
 
             return suffix_array_device(codes)
@@ -47,30 +49,30 @@ def _cmd_index(args) -> int:
 
     fwd = build_fm_index(
         genome.codes,
-        sample_rate=args.sample_rate,
+        sample_rate=cfg.sample_rate,
         sa=sa_for(genome.codes),
-        keep_full_sa=args.full_sa,
+        keep_full_sa=cfg.full_sa,
     )
     rcodes = genome.codes[::-1].copy()
-    rev = build_fm_index(rcodes, sample_rate=args.sample_rate, sa=sa_for(rcodes))
+    rev = build_fm_index(rcodes, sample_rate=cfg.sample_rate, sa=sa_for(rcodes))
     gi = GenomeIndex(genome, fwd, rev)
-    sw.lap(f"built forward+reverse FM indexes (builder={args.builder})")
-    save_index(args.out, gi)
-    sw.lap(f"saved {args.out}")
-    if args.kmer:
+    sw.lap(f"built forward+reverse FM indexes (builder={cfg.builder})")
+    save_index(cfg.out, gi)
+    sw.lap(f"saved {cfg.out}")
+    if cfg.kmer:
         import numpy as _np
 
         from .index.kmer import build_kmer_table
 
-        lo, hi = build_kmer_table(fwd, args.kmer)
-        _np.savez(args.out + f".kmer{args.kmer}.npz", lo=lo, hi=hi)
-        sw.lap(f"built {args.kmer}-mer table -> {args.out}.kmer{args.kmer}.npz")
-    if args.seed:
+        lo, hi = build_kmer_table(fwd, cfg.kmer)
+        _np.savez(cfg.out + f".kmer{cfg.kmer}.npz", lo=lo, hi=hi)
+        sw.lap(f"built {cfg.kmer}-mer table -> {cfg.out}.kmer{cfg.kmer}.npz")
+    if cfg.seed:
         from .index.seedtable import build_seed_table, save_seed_table
 
-        offsets, positions = build_seed_table(genome.codes, args.seed)
-        save_seed_table(args.out + f".seed{args.seed}.npz", offsets, positions, args.seed)
-        sw.lap(f"built {args.seed}-mer seed table -> {args.out}.seed{args.seed}.npz")
+        offsets, positions = build_seed_table(genome.codes, cfg.seed)
+        save_seed_table(cfg.out + f".seed{cfg.seed}.npz", offsets, positions, cfg.seed)
+        sw.lap(f"built {cfg.seed}-mer seed table -> {cfg.out}.seed{cfg.seed}.npz")
     return 0
 
 
@@ -79,39 +81,41 @@ def _cmd_align(args) -> int:
 
     from .index.files import load_index
     from .models.pipeline import ExactAligner, SuffixFilterAligner
+    from .utils.config import AlignConfig
     from .utils.fasta import iter_reads
     from .utils.log import StopWatch, profile_to
     from .utils.sam import write_sam
 
+    cfg = AlignConfig.from_args(args)
     sw = StopWatch()
-    gi = load_index(args.index)
+    gi = load_index(cfg.index)
     sw.lap(f"loaded index ({gi.genome.n} bp)")
 
     kmer_kwargs = {}
-    if args.kmer_table:
+    if cfg.kmer_table:
         import numpy as _np
 
-        z = _np.load(args.kmer_table)
+        z = _np.load(cfg.kmer_table)
         j = int(_np.log2(z["lo"].size) / 2)
         kmer_kwargs = dict(kmer_table=(z["lo"], z["hi"]), kmer_j=j)
         sw.lap(f"loaded {j}-mer table")
-    if args.seed_table:
+    if cfg.seed_table:
         from .index.seedtable import load_seed_table
 
-        offsets, positions, sj = load_seed_table(args.seed_table)
+        offsets, positions, sj = load_seed_table(cfg.seed_table)
         kmer_kwargs.update(seed_table=(offsets, positions), seed_j=sj)
         sw.lap(f"loaded {sj}-mer seed table")
 
-    mode = args.mode
+    mode = cfg.mode
     if mode == "auto":
-        mode = "exact" if args.k == 0 else "pigeonhole"
-    if args.n_interval > 1:
+        mode = "exact" if cfg.k == 0 else "pigeonhole"
+    if cfg.n_interval > 1:
         from .parallel.sharded_pipeline import ShardedAligner
 
         aligner = ShardedAligner(
             gi,
-            k=args.k,
-            n_interval=args.n_interval,
+            k=cfg.k,
+            n_interval=cfg.n_interval,
             seed_table=kmer_kwargs.get("seed_table"),
             seed_j=kmer_kwargs.get("seed_j", 0),
         )
@@ -124,26 +128,26 @@ def _cmd_align(args) -> int:
     else:
         aligner = SuffixFilterAligner(
             gi,
-            k=args.k,
-            max_hits_per_piece=args.max_hits_per_piece,
+            k=cfg.k,
+            max_hits_per_piece=cfg.max_hits_per_piece,
             use_staircase=(mode == "staircase"),
             **kmer_kwargs,
         )
 
     # array streaming: uniform unpaired FASTQ goes straight to (B, L) arrays
     # (object batches cost more host time than the device step)
-    base = args.reads[:-3] if args.reads.endswith(".gz") else args.reads
+    base = cfg.reads[:-3] if cfg.reads.endswith(".gz") else cfg.reads
     if (
         base.endswith((".fq", ".fastq"))
         and not args.interleaved
         and not args.paired
-        and args.mode in ("auto", "pigeonhole")
-        and args.k > 0
-        and args.n_interval == 1
+        and cfg.mode in ("auto", "pigeonhole")
+        and cfg.k > 0
+        and cfg.n_interval == 1
     ):
         return _align_array_stream(args, gi, aligner, sw)
 
-    reads = list(iter_reads(args.reads))
+    reads = list(iter_reads(cfg.reads))
     paired = None
     if args.interleaved:
         assert len(reads) % 2 == 0, "interleaved input needs an even read count"
@@ -164,7 +168,7 @@ def _cmd_align(args) -> int:
         sw.lap(f"loaded {len(reads)} reads")
 
     # resume: skip batches recorded as complete for this output path
-    progress_path = (args.out + ".progress") if args.out != "-" else None
+    progress_path = (cfg.out + ".progress") if cfg.out != "-" else None
     start_batch = 0
     if args.resume and progress_path and os.path.exists(progress_path):
         start_batch = json.loads(open(progress_path).read()).get("batches_done", 0)
@@ -173,7 +177,7 @@ def _cmd_align(args) -> int:
     records = []
     n_mapped = n_proper = 0
     t0 = time.time()
-    bs = args.batch_size
+    bs = cfg.batch_size
     n_batches = (len(reads) + bs - 1) // bs
     with profile_to(args.profile):
         for b in range(start_batch, n_batches):
@@ -218,13 +222,13 @@ def _cmd_align(args) -> int:
     )
 
     hdr = aligner.sam_header()
-    if args.out == "-":
+    if cfg.out == "-":
         sys.stdout.write(hdr + "\n")
         for r in records:
             sys.stdout.write(r.line() + "\n")
     else:
-        write_sam(args.out, hdr, records)
-        sw.lap(f"wrote {args.out}")
+        write_sam(cfg.out, hdr, records)
+        sw.lap(f"wrote {cfg.out}")
     if args.report:
         report = {
             "reads": total,
@@ -233,7 +237,7 @@ def _cmd_align(args) -> int:
             "reads_per_s": round(total / max(dt, 1e-9), 1),
             "wall_s": round(dt, 3),
             "mode": mode,
-            "k": args.k,
+            "k": cfg.k,
             "batch_size": bs,
         }
         with open(args.report, "w") as fh:

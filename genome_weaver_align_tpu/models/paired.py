@@ -88,6 +88,15 @@ class PairedAligner:
             jnp.asarray(ws.astype(np.int32)),
             W,
         ).astype(jnp.int32)
+        # W is sized with the cohort max read length; mask columns beyond each
+        # read's OWN insert window (max_insert - min_insert + len) to the
+        # never-matching sentinel so a shorter mate cannot be rescued outside
+        # its insert bound (ADVICE r2 low)
+        own_w = (W - lmax) + lens  # (J,) per-job valid window length
+        col = np.arange(W, dtype=np.int64)
+        wins = jnp.where(
+            jnp.asarray(col[None, :] >= own_w[:, None]), jnp.int32(4), wins
+        )
         nwords = (lmax + 31) // 32
         d, end = myers.myers_semiglobal_end(
             jnp.asarray(codes.astype(np.int32)),

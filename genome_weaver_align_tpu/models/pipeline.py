@@ -155,9 +155,11 @@ class ArrayHits(NamedTuple):
     overflow: np.ndarray  # (B,) bool
     lengths: np.ndarray  # (B,) int32
     cigars: dict[int, str]
-    aux: dict[int, tuple[int, int]] = {}  # read idx -> (AS, NM) from the
-    # scored affine traceback (slow-path reads only; fast-path AS is exact
-    # from the all-M alignment)
+    aux: dict[int, tuple[int, int]]  # read idx -> (AS, NM) from the scored
+    # affine traceback (slow-path reads only; fast-path AS is exact from the
+    # all-M alignment).  Required (no default): a {} default on a NamedTuple
+    # field is class-level shared state and in-place mutation would leak
+    # entries across batches.
 
 
 def hits_from_arrays(ah: ArrayHits) -> list[ApproxHit | None]:
@@ -588,7 +590,7 @@ class SuffixFilterAligner:
             # affine score is exact in closed form (no gaps)
             if h.score is not None:
                 score, nm = h.score, h.nm
-            elif self.scored:
+            elif getattr(self, "scored", False):
                 score = 1 * (len(r) - h.dist) - 4 * h.dist
                 nm = h.dist
             else:

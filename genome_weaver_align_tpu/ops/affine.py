@@ -137,7 +137,10 @@ def affine_banded_batch(
 
     i = lengths.copy()
     state = np.zeros(Q, dtype=np.int8)  # 0=H, 1=E(D-run), 2=F(I-run)
-    max_steps = 2 * L + band + 1
+    # provable bound: M/I steps <= L (each decrements i); D steps <= #I + band
+    # (b stays in [0, band)); opening transitions (toE/toF, no op emitted)
+    # <= one per gap run <= #D + #I.  Total <= 3L + 2*band.
+    max_steps = 3 * L + 2 * band + 2
     ops = np.zeros((Q, max_steps), dtype=np.int8)  # 0 none, 1 M, 2 I, 3 D
     nm = np.zeros(Q, dtype=np.int64)
     q = np.arange(Q)
@@ -167,7 +170,8 @@ def affine_banded_batch(
         bp = np.minimum(b + 1, band - 1)
         f_open = inF & (i >= 1) & (b + 1 < band) & (F[q, i, b] == H[q, ip, bp] - gap_open)
 
-        assert bool(np.all(diag_ok | toE | toF | inE | inF | ~active)), "affine traceback stuck"
+        if not bool(np.all(diag_ok | toE | toF | inE | inF | ~active)):
+            raise RuntimeError("affine traceback stuck")  # not assert: must survive -O
         ops[:, step] = np.where(diag_ok, 1, np.where(inF, 2, np.where(inE, 3, 0)))
         nm += np.where(diag_ok & ~is_match, 1, 0) + inE + inF
         # transitions
@@ -178,6 +182,9 @@ def affine_banded_batch(
         state = np.where(toF, 2, state)
         state = np.where(inE & e_open, 0, state)
         state = np.where(inF & f_open, 0, state)
+    if bool(((i > 0) | (state != 0)).any()):
+        # truncation here would silently emit a wrong start/CIGAR/NM
+        raise RuntimeError("affine traceback did not terminate within max_steps")
     start = (i + b - k).astype(np.int64)
 
     cigars = []

@@ -138,6 +138,7 @@ def myers_semiglobal(
     return best
 
 
+@partial(jax.jit, static_argnames=("nwords", "max_window"))
 def myers_semiglobal_end(
     reads: jax.Array,  # (Q, L) int32 codes; >=4 never matches
     lengths: jax.Array,  # (Q,)

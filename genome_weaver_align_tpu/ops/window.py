@@ -11,7 +11,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 @partial(jax.jit, static_argnames=("width",))
@@ -44,7 +43,3 @@ def gather_windows(
         )
     codes = (codes & jnp.uint32(3)).astype(jnp.int8)
     return jnp.where(valid, codes, jnp.int8(4))
-
-
-def pack_text_for_device(text_words: np.ndarray) -> jax.Array:
-    return jnp.asarray(text_words, dtype=jnp.uint32)

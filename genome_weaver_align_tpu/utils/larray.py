@@ -27,7 +27,3 @@ def check_device_indexable(n: int, what: str = "array") -> None:
             f"{what} has {n} elements > 2^31-1; split into sub-indexes "
             "(see parallel.sharded_index) before uploading to device"
         )
-
-
-def memmap_uint8(path, mode="r"):
-    return np.memmap(path, dtype=np.uint8, mode=mode)

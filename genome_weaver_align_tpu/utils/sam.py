@@ -17,8 +17,13 @@ from . import dna
 FLAG_UNMAPPED = 0x4
 FLAG_REVERSE = 0x10
 
-# BWA-style multiplicity reporting cap: X0 counts above this are emitted as
-# the cap with XO:i:1 set ("X0 is a floor, not exact").  Candidate budgets
+# BWA-style multiplicity reporting cap: X0 counts AT OR above this are
+# emitted as the cap with XO:i:1 set ("X0 is a floor, not exact").  The >=
+# (not >) is deliberate: a pipeline whose candidate budget equals the cap
+# cannot distinguish exactly-cap from above-cap, so n_hits == X0_CAP must be
+# flagged as possibly-truncated for SAM bytes to be identical across
+# pipelines/budgets (ADVICE r2 low adjudicated: semantics kept, comment
+# fixed).  Candidate budgets
 # differ between the single-device and mesh-sharded pipelines, so exact
 # counts above the smallest budget are truncation artifacts — capping at the
 # smallest budget keeps SAM bytes identical across mesh shapes while X0
