@@ -25,9 +25,11 @@ def _load():
     if _lib is not None or _build_failed:
         return _lib
     try:
-        if not _LIB_PATH.exists() or (
-            _LIB_PATH.stat().st_mtime < (_NATIVE_DIR / "sais.cpp").stat().st_mtime
-        ):
+        stale = not _LIB_PATH.exists() or any(
+            _LIB_PATH.stat().st_mtime < src.stat().st_mtime
+            for src in _NATIVE_DIR.glob("*.cpp")
+        )
+        if stale:
             subprocess.run(
                 ["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True
             )

@@ -480,30 +480,32 @@ class SuffixFilterAligner:
                 s0 = max(0, ws)
                 seg = self.gi.fwd.extract(s0, min(self.fm.n, ws + Wb) - s0)
                 wins[t, s0 - ws : s0 - ws + seg.size] = seg
-            dist_s, start_s, cig_s = dp_ops.traceback_banded_batch(
-                vcodes, lens_s, wins, self.k
-            )
-            # clamp: a traceback beginning in the left pad of a window that
-            # overhangs the genome start must not yield a negative coordinate
-            # (ADVICE r1 low)
-            pos[slow_idx] = np.maximum(ws_all[slow_idx] + start_s, 0)
-            dist[slow_idx] = dist_s
-            for t, i in enumerate(slow_idx):
-                cigars[int(i)] = cig_s[t]
             if self.scored:
-                # re-align the same cohort with the scored affine engine:
-                # the emitted CIGAR/POS/NM/AS become the score optimum while
-                # mapping/selection above stays edit-distance (the filter's
-                # completeness guarantee)
+                # scored emission: the affine engine alone supplies
+                # CIGAR/POS/NM/AS; ``dist`` is already the banded edit
+                # distance from the device verify, so the unit-cost
+                # traceback would recompute it for nothing (VERDICT r2
+                # weak-#4: the slow cohort ran BOTH host DPs).  Selection
+                # stays edit-distance (the filter's completeness guarantee).
                 from ..ops import affine
 
                 sc_s, astart_s, acig_s, nm_s = affine.affine_banded_batch(
                     vcodes, lens_s, wins, self.k
                 )
+                # clamp: a traceback beginning in the left pad of a window
+                # that overhangs the genome start must not go negative
                 pos[slow_idx] = np.maximum(ws_all[slow_idx] + astart_s, 0)
                 for t, i in enumerate(slow_idx):
                     cigars[int(i)] = acig_s[t]
                     aux[int(i)] = (int(sc_s[t]), int(nm_s[t]))
+            else:
+                dist_s, start_s, cig_s = dp_ops.traceback_banded_batch(
+                    vcodes, lens_s, wins, self.k
+                )
+                pos[slow_idx] = np.maximum(ws_all[slow_idx] + start_s, 0)
+                dist[slow_idx] = dist_s
+                for t, i in enumerate(slow_idx):
+                    cigars[int(i)] = cig_s[t]
         self.last_stats = {
             "n_slow_traceback": int(slow_idx.size),
             "n_mapped": int(mapped.sum()),

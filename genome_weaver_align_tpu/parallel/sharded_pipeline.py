@@ -495,12 +495,17 @@ class ShardedAligner:
         use_seed = self.sst is not None and min_piece >= self.seed_j
         fn = self._fn(L, use_seed)
         tab = self.sst if use_seed else self.sh
+        from . import multihost as mh
+
         res = []
         for batch in (np.where(vf >= 4, 0, vf), np.where(vrc >= 4, 0, vrc)):
             r, l, B = self._pmesh.shard_reads(self.mesh, batch.astype(np.int32), lengths)
             bp, bd, ng, ovf = fn(tab, self.tx, r, l)
+            # gather_to_host degenerates to np.asarray single-process; with
+            # N>1 jax.distributed processes it process_allgathers so the
+            # host-side tail (CIGAR split, SAM) sees the full global batch
             res.append(
-                tuple(np.asarray(x)[: len(reads)] for x in (bp, bd, ng, ovf))
+                tuple(x[: len(reads)] for x in mh.gather_to_host([bp, bd, ng, ovf]))
             )
         (pf, df, nf, of), (pr, dr, nr, orr) = res
         df = np.where(df <= self.k, df, 1 << 20)

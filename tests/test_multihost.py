@@ -69,6 +69,48 @@ def test_two_process_identical_sam(tmp_path):
     assert a == b
 
 
+def test_two_process_sharded_pipeline_identical_sam(tmp_path):
+    """The FLAGSHIP interval-sharded suffix-filter pipeline across 2 REAL
+    jax.distributed processes (VERDICT r2 missing-#6): 100 kb genome, subs +
+    indel reads, seed-table AND FM sharded paths, scored CIGAR tail.  The
+    2-process SAM must be byte-identical to the 1-process SAM."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    driver = str(Path(__file__).parent / "multihost_driver.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = (
+        str(Path(__file__).parent.parent) + os.pathsep + env.get("PYTHONPATH", "")
+    )
+
+    def run(nprocs, port, out):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, driver, str(pid), str(nprocs), str(port), out,
+                 "sharded"],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for pid in range(nprocs)
+        ]
+        for p in procs:
+            out_text, _ = p.communicate(timeout=600)
+            assert p.returncode == 0, out_text[-3000:]
+
+    port = 27000 + os.getpid() % 1000
+    single = str(tmp_path / "single.sam")
+    dual = str(tmp_path / "dual.sam")
+    run(1, port, single)
+    run(2, port + 1, dual)
+    a, b = Path(single).read_bytes(), Path(dual).read_bytes()
+    assert b"long0" in a and b"short0" in a
+    assert a == b
+
+
 def test_stream_batches_deterministic():
     reads = list(range(25))
     batches = list(mh.stream_batches(reads, 8))
