@@ -1,0 +1,179 @@
+"""Explicit-RDMA ring all-reduce for interval-merge traffic (SURVEY.md §5.8).
+
+Every extension step of the interval-sharded search merges per-shard rank
+partials across the ``interval`` mesh axis.  The default path is an XLA
+``psum`` — correct, but opaque: the collective's schedule is whatever XLA
+picks.  This module provides the hand-scheduled alternative the survey
+calls make-or-break for ≥80 % scaling: a double-buffered ring all-reduce
+built from ``pltpu.make_async_remote_copy`` (inter-chip RDMA over ICI),
+with explicit send/recv semaphores and slot flow-control, so consecutive
+ring hops pipeline inside the kernel instead of serializing on a full
+round-trip each (see ``sharded_index.make_sharded_exact_search
+(merge="ring")`` for the production caller, which also documents why
+multiple ring merges per program must be token-sequenced).
+
+Algorithm (n = ring size, per device d):
+    acc   = x_d                     # running sum
+    pass0 = x_d                     # the value circulating the ring
+    step s in [0, n-1):  send pass_s to (d+1) % n, recv from (d-1) % n
+                         acc += recv;  pass_{s+1} = recv
+After n-1 steps every device holds sum_d x_d.  Communication slots are
+double-buffered: the recv of step s lands in slot (s+1) % 2 while slot
+s % 2 is being sent from, and a counting capacity semaphore guarantees a
+slot is never overwritten before its consumer has forwarded it (the
+2-slot ring only enforces a one-step lag by itself).
+
+Validated in Pallas TPU interpret mode on the virtual CPU mesh
+(tests/test_ring.py, bit-exact vs ``jax.lax.psum``) and hardware-gated on
+the real chip (ring of 1 degenerates to a VMEM copy but compiles the full
+RDMA kernel).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_SUBLANES = 8
+_TILE = _LANES * _SUBLANES
+
+
+def _ring_kernel(x_ref, o_ref, comm, send_sem, recv_sem, cap_sem, *, axis, n):
+    my = lax.axis_index(axis)
+    right = lax.rem(my + 1, n)
+    left = lax.rem(my + n - 1, n)
+
+    o_ref[:] = x_ref[:]
+    if n == 1:
+        return
+    comm[0] = x_ref[:]
+
+    # Neighbors' comm buffers must exist before any RDMA lands in them.
+    barrier = pltpu.get_barrier_semaphore()
+    for nb in (left, right):
+        pltpu.semaphore_signal(
+            barrier, inc=1, device_id={axis: nb},
+            device_id_type=pltpu.DeviceIdType.MESH,
+        )
+    pltpu.semaphore_wait(barrier, 2)
+
+    # Capacity protocol: cap_sem counts how many sends I may start into my
+    # RIGHT neighbor's slots.  Initially 1 (its slot 1 is free; its slot 0
+    # holds its own value until its step-0 send completes); each device
+    # grants one more to its LEFT neighbor whenever a send-from-slot
+    # completes, freeing that slot for the next incoming write.
+    pltpu.semaphore_signal(
+        cap_sem, inc=1, device_id={axis: left},
+        device_id_type=pltpu.DeviceIdType.MESH,
+    )
+
+    for s in range(n - 1):
+        send_slot = s % 2
+        recv_slot = (s + 1) % 2
+        pltpu.semaphore_wait(cap_sem, 1)
+        rdma = pltpu.make_async_remote_copy(
+            src_ref=comm.at[send_slot],
+            dst_ref=comm.at[recv_slot],
+            send_sem=send_sem.at[send_slot],
+            recv_sem=recv_sem.at[recv_slot],
+            device_id={axis: right},
+            device_id_type=pltpu.DeviceIdType.MESH,
+        )
+        rdma.start()
+        rdma.wait()
+        o_ref[:] += comm[recv_slot]
+        if s < n - 2:
+            pltpu.semaphore_signal(
+                cap_sem, inc=1, device_id={axis: left},
+                device_id_type=pltpu.DeviceIdType.MESH,
+            )
+
+
+@partial(jax.jit, static_argnames=("axis", "n", "interpret", "collective_id"))
+def _ring_psum_2d(x, *, axis: str, n: int, interpret, collective_id: int):
+    rows = x.shape[0]
+    kernel = partial(_ring_kernel, axis=axis, n=n)
+    # under shard_map's vma checking the output must carry the input's
+    # varying-axes type (the all-reduced value is still device-varying
+    # type-wise; callers can lax.pvary/psum-cast as needed)
+    vma = getattr(jax.typeof(x), "vma", None)
+    out_shape = (
+        jax.ShapeDtypeStruct((rows, _LANES), x.dtype, vma=vma)
+        if vma is not None
+        else jax.ShapeDtypeStruct((rows, _LANES), x.dtype)
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, _LANES), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.REGULAR,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # a ring of 1 never touches the barrier semaphore, and Mosaic
+            # rejects collective_id on kernels without a custom barrier
+            collective_id=collective_id if n > 1 else None,
+        ),
+        interpret=interpret,
+    )(x)
+
+
+def ring_psum(
+    x: jax.Array,
+    axis: str,
+    *,
+    interpret=False,
+    collective_id: int = 7,
+    token: jax.Array | None = None,
+):
+    """All-reduce sum over mesh axis ``axis`` via explicit ring RDMA.
+
+    Call INSIDE ``shard_map``; drop-in for ``jax.lax.psum(x, axis)`` for
+    int32/float32 operands of any shape.  ``interpret`` runs the kernel in
+    Pallas TPU interpret mode (works on the virtual CPU mesh, where Mosaic
+    cannot compile).
+
+    ``token``: collective kernels MUST execute in the same order on every
+    device — a device that finishes merge A and enters merge B while a
+    neighbor is still inside A would land B's remote signals in A's
+    semaphore allocation (same scratch addresses).  Callers issuing more
+    than one ring merge per program thread a token through every call:
+    pass the previous call's token, use the returned one next.  When a
+    token is given the return value is ``(sum, new_token)``.
+    """
+    seq = token is not None
+    if seq:
+        # data-dependency fence: this merge cannot be scheduled before the
+        # previous one's completion on ANY device
+        x, _ = lax.optimization_barrier((x, token))
+    if interpret is True:
+        # the plain HLO interpreter has no remote-DMA semantics; the TPU
+        # interpreter simulates the full semaphore/RDMA machinery per device
+        interpret = pltpu.InterpretParams()
+    n = lax.axis_size(axis)
+    orig_shape, orig_dtype = x.shape, x.dtype
+    flat = x.reshape(-1)
+    pad = (-flat.size) % _TILE
+    flat = jnp.pad(flat, (0, pad)) if pad else flat
+    x2 = flat.reshape(-1, _LANES)
+    out = _ring_psum_2d(
+        x2, axis=axis, n=n, interpret=interpret, collective_id=collective_id
+    )
+    out = out.reshape(-1)
+    if pad:
+        out = out[: out.size - pad]
+    res = out.reshape(orig_shape).astype(orig_dtype)
+    if seq:
+        return res, lax.optimization_barrier(res.reshape(-1)[0])
+    return res

@@ -212,37 +212,45 @@ def local_ssa_value(sh: ShardedFMIndex, i, global_rank):
 # ---- merged (collective) primitives — call INSIDE shard_map over axis name.
 
 
-def occ_codes(sh, codes, k, axis: str):
-    return jax.lax.psum(local_occ_codes(sh, codes, k), axis)
+def _default_merge(axis: str):
+    return lambda v: jax.lax.psum(v, axis)
 
 
-def backward_step(sh, codes, lo, hi, axis: str):
+def occ_codes(sh, codes, k, axis: str, merge=None):
+    merge = merge or _default_merge(axis)
+    return merge(local_occ_codes(sh, codes, k))
+
+
+def backward_step(sh, codes, lo, hi, axis: str, merge=None):
+    merge = merge or _default_merge(axis)
     part = jnp.stack(
         [local_occ_codes(sh, codes, lo), local_occ_codes(sh, codes, hi)]
     )
-    occ_lo, occ_hi = jax.lax.psum(part, axis)
+    occ_lo, occ_hi = merge(part)
     Cc = sh.C[codes.astype(jnp.int32)]
     return Cc + occ_lo, Cc + occ_hi
 
 
-def lf(sh, i, axis: str):
-    c = jax.lax.psum(local_bwt_char(sh, i), axis)
-    return sh.C[c] + jax.lax.psum(local_occ_codes(sh, c, i), axis)
+def lf(sh, i, axis: str, merge=None):
+    merge = merge or _default_merge(axis)
+    c = merge(local_bwt_char(sh, i))
+    return sh.C[c] + merge(local_occ_codes(sh, c, i))
 
 
-def locate(sh, rows, axis: str):
+def locate(sh, rows, axis: str, merge=None):
     """Bounded LF walk with a psum per step (the config-5 hot collective)."""
+    merge = merge or _default_merge(axis)
 
     def body(_, state):
         i, d = state
-        marked = jax.lax.psum(local_mark_get(sh, i), axis) > 0
-        nxt = lf(sh, i, axis)
+        marked = merge(local_mark_get(sh, i)) > 0
+        nxt = lf(sh, i, axis, merge)
         return jnp.where(marked, i, nxt), jnp.where(marked, d, d + 1)
 
     i0 = rows.astype(jnp.int32)
     i, d = jax.lax.fori_loop(0, sh.sample_rate, body, (i0, jnp.zeros_like(i0)))
-    grank = jax.lax.psum(local_mark_rank1(sh, i), axis)
-    val = jax.lax.psum(local_ssa_value(sh, i, grank), axis)
+    grank = merge(local_mark_rank1(sh, i))
+    val = merge(local_ssa_value(sh, i, grank))
     return val + d
 
 
@@ -295,30 +303,95 @@ def put_sharded(sh: ShardedFMIndex, mesh, axis: str) -> ShardedFMIndex:
     return dataclasses.replace(sh, **kw)
 
 
-def make_sharded_exact_search(mesh, interval_axis: str, data_axis: str, max_len: int, like: ShardedFMIndex = None):
+def make_sharded_exact_search(
+    mesh,
+    interval_axis: str,
+    data_axis: str,
+    max_len: int,
+    like: ShardedFMIndex = None,
+    *,
+    merge: str = "psum",
+    microbatch: int = 1,
+    ring_interpret: bool = False,
+):
     """Build a jitted shard_map exact search over (data, interval) axes.
 
     Reads are data-sharded and replicated across interval; the index is
     interval-sharded.  Returns fn(sharded_index, reads, lengths) ->
     (lo, hi, positions) with positions from the sharded locate.
+
+    ``merge`` picks the interval-merge collective for the extension steps
+    (the hot ~L-step collective): "psum" (XLA all-reduce, async-scheduled by
+    the latency-hiding scheduler) or "ring" (the explicit double-buffered
+    RDMA ring in ``parallel.ring`` — SURVEY.md §5.8's overlap primitive,
+    which pipelines consecutive ring hops inside the kernel;
+    ``ring_interpret=True`` simulates the RDMA machinery on the virtual CPU
+    mesh where Mosaic cannot compile).  Ring merges are strictly sequenced
+    via a loop-carried token — a TensorCore runs one kernel at a time, and
+    cross-device kernel skew would land one merge's remote signals in
+    another's semaphore allocation.  ``locate``'s tail merges stay psum.
+
+    ``microbatch`` > 1 splits the local read batch into that many interleaved
+    chunks per extension step: chunk m+1's local rank gathers carry no data
+    dependency on chunk m's merge, so with merge="psum" the scheduler can
+    keep merge traffic for one chunk on the ICI while another chunk's
+    gathers occupy the VPU — the overlap that turns the per-step collective
+    from serial latency into pipelined bandwidth.
     """
     from jax.sharding import PartitionSpec as P
+
+    use_ring = merge == "ring"
+    if use_ring:
+        from . import ring
 
     def local_fn(sh, reads, lengths):
         sh = squeeze_local(sh)
         B, L = reads.shape
+        mb = microbatch if B % microbatch == 0 else 1
+        Bc = B // mb
+
+        def chunk(a, m):
+            return a[m * Bc : (m + 1) * Bc]
 
         def body(t, state):
-            lo, hi = state
-            j = lengths - 1 - t
-            active = (j >= 0) & (lo < hi)
-            c = jnp.take_along_axis(reads, jnp.clip(j, 0)[:, None], axis=1)[:, 0]
-            nlo, nhi = backward_step(sh, c, lo, hi, interval_axis)
-            return jnp.where(active, nlo, lo), jnp.where(active, nhi, hi)
+            chunks, token = state
+            # one tuple entry per interleaved chunk; with psum merge the
+            # chunks' collectives are data-independent within a step
+            tok = [token]
 
-        lo0 = jnp.zeros(B, jnp.int32)
-        hi0 = jnp.full(B, sh.n + 1, jnp.int32)
-        lo, hi = jax.lax.fori_loop(0, max_len, body, (lo0, hi0))
+            def merge_fn(v):
+                if use_ring:
+                    res, tok[0] = ring.ring_psum(
+                        v, interval_axis, interpret=ring_interpret,
+                        collective_id=8, token=tok[0],
+                    )
+                    return res
+                return jax.lax.psum(v, interval_axis)
+
+            out = []
+            for m in range(mb):
+                lo, hi = chunks[m]
+                j = chunk(lengths, m) - 1 - t
+                active = (j >= 0) & (lo < hi)
+                c = jnp.take_along_axis(
+                    chunk(reads, m), jnp.clip(j, 0)[:, None], axis=1
+                )[:, 0]
+                nlo, nhi = backward_step(sh, c, lo, hi, interval_axis, merge_fn)
+                out.append(
+                    (jnp.where(active, nlo, lo), jnp.where(active, nhi, hi))
+                )
+            return tuple(out), tok[0]
+
+        state0 = (
+            tuple(
+                (jnp.zeros(Bc, jnp.int32), jnp.full(Bc, sh.n + 1, jnp.int32))
+                for _ in range(mb)
+            ),
+            jnp.int32(0),
+        )
+        chunks, _ = jax.lax.fori_loop(0, max_len, body, state0)
+        lo = jnp.concatenate([s[0] for s in chunks])
+        hi = jnp.concatenate([s[1] for s in chunks])
         pos = locate(sh, jnp.clip(lo, 0, sh.n), interval_axis)
         pos = jnp.where(hi > lo, pos, -1)
         return lo, hi, pos
