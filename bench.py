@@ -502,41 +502,103 @@ def bench_gcups(metrics):
 
     band_cells = Q * L * (4 * k + 1)
 
-    def chained(engine, iters):
-        """Time ``iters`` kernel launches inside ONE jit: the tunnelled TPU
-        costs ~30 ms per dispatch round trip, so a sub-ms kernel timed one
-        dispatch at a time measures the tunnel, not the kernel.  The input
-        is perturbed from the loop counter (and the running sum folds the
-        output back in) so XLA can neither hoist the kernel out of the loop
-        nor elide iterations."""
+    def timed_loop(make_run, args, iters):
+        """Per-iteration time of a jit'd fori_loop of kernel launches.
 
-        @jax.jit
-        def run(r, ln, w, salt):
-            def body(i, acc):
-                r2 = r.at[0, 0].set(((i + salt) & 3).astype(r.dtype))
-                d, _ = engine(r2, ln, w)
-                return acc + d[0]
+        Methodology (hard-won on the tunnelled backend):
+        - launches are chained inside ONE jit (the tunnel costs ~30 ms per
+          dispatch round trip; a sub-ms kernel timed per-dispatch measures
+          the tunnel);
+        - the loop body perturbs the input from the loop counter + an
+          acc-feedback term so XLA can neither hoist nor CSE iterations;
+        - the result SCALAR is fetched to host (int()) — block_until_ready
+          alone produced physically impossible numbers (>10x VPU peak) on
+          the axon backend;
+        - per-iter time is the DIFFERENCE quotient between two loop sizes,
+          cancelling fixed costs (RTT, result plumbing) and exposing any
+          result-caching artifact as a non-scaling total.  The loop bound
+          is a TRACED argument so both sizes share one executable (each
+          distinct executable waits in the remote-compile queue)."""
+        fn = make_run(None)
 
-            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
-
-        jax.block_until_ready(run(reads, lengths, wins, jnp.int32(9)))  # compile
-        best = float("inf")
-        # a fresh salt each rep: identical (executable, args) repeats can be
-        # served from a result cache on the tunnelled backend, which would
-        # time a lookup instead of the kernel
-        for rep in range(3):
+        def run_once(salt, n):
             t0 = time.time()
-            jax.block_until_ready(run(reads, lengths, wins, jnp.int32(rep)))
-            best = min(best, time.time() - t0)
-        return best / iters
+            out = int(fn(*args, jnp.int32(salt), jnp.int32(n)))
+            return time.time() - t0, out
+
+        run_once(9, iters)  # compile
+        t_small = min(run_once(r, iters)[0] for r in range(3))
+        t_big = min(run_once(100 + r, iters * 4)[0] for r in range(3))
+        dt = (t_big - t_small) / (3 * iters)
+        if dt <= 0 or t_big < 1.5 * t_small:
+            log(
+                f"WARNING: kernel timing does not scale with loop size "
+                f"(t{iters}={t_small:.4f}s t{iters*4}={t_big:.4f}s) — "
+                f"recording the conservative big-loop average"
+            )
+            dt = t_big / (4 * iters)
+        return dt
+
+    def chained(engine, iters):
+        def make_run(_):
+            @jax.jit
+            def run(r, ln, w, salt, n):
+                def body(i, acc):
+                    r2 = r.at[0, 0].set(((i + salt + acc) & 3).astype(r.dtype))
+                    d, _ = engine(r2, ln, w)
+                    return acc + d[0]
+
+                return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+            return run
+
+        return timed_loop(make_run, (reads, lengths, wins), iters)
 
     on_tpu = jax.default_backend() != "cpu"
     dt = chained(lambda r, ln, w: dp.banded_edit_distance_best(r, ln, w, k),
                  iters=32 if on_tpu else 2)
-    metrics["pallas_gcups" if on_tpu else "prod_dp_gcups"] = (
+    metrics["prod_verify_gcups" if on_tpu else "prod_dp_gcups"] = (
         round(band_cells / dt / 1e9, 2)
     )
-    log(f"production banded verify: {band_cells/dt/1e9:.2f} GCUPS (band {4*k+1})")
+    log(
+        f"production banded verify (incl. per-batch layout transposes): "
+        f"{band_cells/dt/1e9:.2f} GCUPS (band {4*k+1})"
+    )
+
+    if on_tpu:
+        # kernel-only: pre-format once, perturb the transposed array in the
+        # loop — times the Mosaic kernel, not the XLA transpose/pad prologue
+        from genome_weaver_align_tpu.ops import dp_pallas
+
+        band = 4 * k + 1
+        T = -(-L // 8)
+        CH = -(-(band + 7) // 8) * 8
+        H = (T - 1) * 8 + CH
+        readsT = jnp.zeros((T * 8, Q), jnp.int32).at[:L].set(
+            reads.astype(jnp.int32).T
+        )
+        padT = jnp.full((H, Q), 4, jnp.int32).at[k : k + min(W, H - k)].set(
+            wins.astype(jnp.int32)[:, : min(W, H - k)].T
+        )
+        lenp = lengths.reshape(1, Q)
+
+        def make_krun(_):
+            @jax.jit
+            def krun(rT, ln, wT, salt, n):
+                def body(i, acc):
+                    r2 = rT.at[0, 0].set(((i + salt + acc) & 3).astype(rT.dtype))
+                    d, _ = dp_pallas.kernel_call(
+                        r2, ln, wT, L=L, W=W, k=k, lanes=2048
+                    )
+                    return acc + d[0, 0]
+
+                return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+            return krun
+
+        dt = timed_loop(make_krun, (readsT, lenp, padT), 32)
+        metrics["pallas_gcups"] = round(band_cells / dt / 1e9, 2)
+        log(f"pallas banded kernel (pre-formatted): {band_cells/dt/1e9:.2f} GCUPS")
 
     dt = chained(lambda r, ln, w: dp.banded_edit_distance(r, ln, w, k), iters=2)
     metrics["banded_dp_gcups"] = round(band_cells / dt / 1e9, 2)
@@ -550,6 +612,46 @@ def bench_gcups(metrics):
     cells = Q * L * W  # bit-parallel computes the full L x W matrix
     metrics["myers_gcups"] = round(cells / dt / 1e9, 2)
     log(f"Myers bit-parallel: {cells/dt/1e9:.2f} GCUPS (full matrix)")
+
+    if on_tpu:
+        from genome_weaver_align_tpu.ops import myers as myers_ops
+        from genome_weaver_align_tpu.ops import myers_pallas
+
+        nwords = -(-L // 32)
+        NW8 = myers_pallas.NW8
+        eq = myers_ops.build_eq(
+            reads.astype(jnp.int32), lengths, nwords
+        )
+        eq8 = jnp.zeros((Q, 4, NW8), jnp.uint32).at[:, :, :nwords].set(eq)
+        eqT = jnp.transpose(eq8, (1, 2, 0)).reshape(4 * NW8, Q)
+        last = lengths - 1
+        widx = jnp.arange(NW8, dtype=jnp.int32)[:, None]
+        lmaskT = jnp.where(
+            widx == (last // 32)[None, :],
+            jnp.uint32(1) << (last % 32).astype(jnp.uint32)[None, :],
+            jnp.uint32(0),
+        )
+        lenT = lengths.reshape(1, Q)
+        Wp8 = -(-W // 8) * 8
+        winT = jnp.full((Wp8, Q), 4, jnp.int32).at[:W].set(
+            wins.astype(jnp.int32).T
+        )
+
+        def make_mp(_):
+            @jax.jit
+            def mp_run(e, lm, ln, w, salt, n):
+                def body(i, acc):
+                    w2 = w.at[0, 0].set(((i + salt + acc) & 3).astype(w.dtype))
+                    b, _ = myers_pallas.kernel_call(e, lm, ln, w2, lanes=2048)
+                    return acc + b[0, 0]
+
+                return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+            return mp_run
+
+        dt = timed_loop(make_mp, (eqT, lmaskT, lenT, winT), 32)
+        metrics["myers_pallas_gcups"] = round(cells / dt / 1e9, 2)
+        log(f"Myers Pallas kernel (pre-formatted): {cells/dt/1e9:.2f} GCUPS")
 
 
 def bench_paired(metrics):

@@ -174,15 +174,24 @@ def myers_semiglobal_pallas(
         windows.astype(jnp.int32).T
     )
 
+    best, end = kernel_call(eqT, lmaskT, lenT, winT, lanes=lanes, interpret=interpret)
+    return best[0, :Q], end[0, :Q]
+
+
+@partial(jax.jit, static_argnames=("lanes", "interpret"))
+def kernel_call(eqT, lmaskT, lenT, winT, *, lanes, interpret=False):
+    """Bare pallas_call on pre-formatted inputs (see dp_pallas.kernel_call)."""
+    Qp = winT.shape[1]
+    T = winT.shape[0] // _STEP
     grid = (Qp // lanes,)
-    best, end = pl.pallas_call(
+    return pl.pallas_call(
         partial(_kernel, lanes=lanes, T=T),
         grid=grid,
         in_specs=[
             pl.BlockSpec((4 * NW8, lanes), lambda q: (0, q), memory_space=pltpu.VMEM),
             pl.BlockSpec((NW8, lanes), lambda q: (0, q), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lanes), lambda q: (0, q), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Wp, lanes), lambda q: (0, q), memory_space=pltpu.VMEM),
+            pl.BlockSpec((winT.shape[0], lanes), lambda q: (0, q), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, lanes), lambda q: (0, q), memory_space=pltpu.VMEM),
@@ -194,4 +203,3 @@ def myers_semiglobal_pallas(
         ],
         interpret=interpret,
     )(eqT, lmaskT, lenT, winT)
-    return best[0, :Q], end[0, :Q]
