@@ -737,7 +737,7 @@ def bench_sa(metrics):
     (VERDICT r2 weak-#8).  Results asserted identical."""
     from genome_weaver_align_tpu.index import device_build, native
 
-    codes, _ = build_or_load_index(CHR20, sample_rate=8, tag="chr20")
+    codes, _ = build_or_load_index(CHR20, sample_rate=8, tag="chr20_r8")
     if not native.available():
         log("native SA-IS unavailable; skipping bench_sa")
         return

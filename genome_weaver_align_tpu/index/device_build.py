@@ -4,9 +4,11 @@ The reference builds its index with sequential host-side SA-IS
 (`UInt32SAIS`); the TPU-native rebuild can instead use the accelerator's
 sort throughput: Manber–Myers prefix doubling is just two stable argsorts +
 a segmented rank assignment per round, O(log n) rounds — all massively
-parallel primitives that XLA maps well.  At human-chromosome scale the
-device build outpaces even the native C++ SA-IS (sequential, cache-missing
-induced sorting).
+parallel primitives that XLA maps well.  Measured honestly (bench.py
+``sa``, chr20 scale, tunnelled v5e): the native C++ SA-IS wins — 9.8 s
+host vs 66.6 s device (O(n log^2 n) work vs SA-IS's O(n), and ~54 large
+device sorts) — so the device build's value is freeing the HOST during
+rebuild-while-serving, not raw speed.
 
 Index-width note: int32 ranks/indices — single text <= 2^31-1 (see
 ``utils.larray``); whole-genome builds split per chromosome group.
