@@ -32,6 +32,11 @@ CHR1 = 230_481_012
 EXACT_BATCH = 131_072
 PIPE_BATCH = 32_768
 PIPE_BATCHES = 8
+# 64k headline batches: measured 297.8k vs 285.9k reads/s at 32k (same
+# aligner config) with much steadier per-batch times (219-241 ms vs
+# 114-290 ms); repeat/chr1 keep PIPE_BATCH=32k (measured shapes/budgets)
+HEADLINE_BATCH = 65_536
+HEADLINE_BATCHES = 6
 KMER_J = 12
 SEED_J = 13
 
@@ -250,14 +255,14 @@ def bench_pipeline(metrics):
 
     log("simulating pipeline reads...")
     rarr, true_pos, true_strand = sim_sub_reads(
-        codes, PIPE_BATCH * PIPE_BATCHES, 100, seed=3, max_subs=2
+        codes, HEADLINE_BATCH * HEADLINE_BATCHES, 100, seed=3, max_subs=2
     )
     rarr = rarr.astype(np.int8)
-    batch_lengths = np.full(PIPE_BATCH, rarr.shape[1], dtype=np.int32)
+    batch_lengths = np.full(HEADLINE_BATCH, rarr.shape[1], dtype=np.int32)
 
     def submit(b):
         return al.align_arrays_submit(
-            rarr[b * PIPE_BATCH : (b + 1) * PIPE_BATCH], batch_lengths
+            rarr[b * HEADLINE_BATCH : (b + 1) * HEADLINE_BATCH], batch_lengths
         )
 
     # warmup batch (compile)
@@ -268,19 +273,19 @@ def bench_pipeline(metrics):
     # overlaps device compute; jax dispatch is async; array-native API —
     # contiguous (B, L) batches, column-array results)
     pending = submit(0)
-    for b in range(PIPE_BATCHES):
+    for b in range(HEADLINE_BATCHES):
         tb = time.time()
-        nxt = submit(b + 1) if b + 1 < PIPE_BATCHES else None
+        nxt = submit(b + 1) if b + 1 < HEADLINE_BATCHES else None
         ah = al.align_arrays_finish(pending)
         pending = nxt
         batch_times.append(time.time() - tb)
         log(f"batch {b}: {batch_times[-1]*1e3:.0f} ms, stats={al.last_stats}")
-        sl = slice(b * PIPE_BATCH, (b + 1) * PIPE_BATCH)
+        sl = slice(b * HEADLINE_BATCH, (b + 1) * HEADLINE_BATCH)
         n_mapped += int(ah.mapped.sum())
         n_correct += int(
             (ah.mapped & (ah.pos == true_pos[sl]) & (ah.strand == true_strand[sl])).sum()
         )
-    total = PIPE_BATCH * PIPE_BATCHES
+    total = HEADLINE_BATCH * HEADLINE_BATCHES
     # Two corrections for an honest sustained rate:
     # - the TPU arrives via a shared pool, so occasional multi-second
     #   external stalls hit some batches (min-statistics, not medians);
@@ -290,7 +295,7 @@ def bench_pipeline(metrics):
     #   averages approximates the true steady-state batch period.
     bt = np.asarray(batch_times)
     pair = (bt[:-1] + bt[1:]) / 2 if bt.size > 1 else bt
-    rate = PIPE_BATCH / float(np.min(pair))
+    rate = HEADLINE_BATCH / float(np.min(pair))
     metrics["pipeline_batch_ms_min_med_max"] = [
         round(float(f(bt)) * 1e3, 1) for f in (np.min, np.median, np.max)
     ]
@@ -825,7 +830,12 @@ def main():
             }
         )
     )
-    return 0 if value is not None else 1
+    # rc gates only on the headline (sub-bench failures are REPORTED in the
+    # JSON, not fatal), and the headline is only required when
+    # bench_pipeline was part of the selection (`--only sa` must not exit 1
+    # just because no headline exists)
+    need_headline = only is None or "pipeline" in only
+    return 0 if value is not None or not need_headline else 1
 
 
 if __name__ == "__main__":

@@ -369,23 +369,28 @@ def _cmd_dump(args) -> int:
 
 
 def main(argv=None) -> int:
+    # argparse defaults come FROM the config dataclasses (utils.config is
+    # the single source of truth; hard-coded duplicates drifted once)
+    from .utils.config import AlignConfig, IndexConfig
+
+    icfg, acfg = IndexConfig(), AlignConfig()
     p = argparse.ArgumentParser(prog="gwa-tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pi = sub.add_parser("index", help="build FM index from FASTA (reference: BWTransform)")
     pi.add_argument("genome")
     pi.add_argument("-o", "--out", required=True)
-    pi.add_argument("--sample-rate", type=int, default=8)
+    pi.add_argument("--sample-rate", type=int, default=icfg.sample_rate)
     pi.add_argument(
-        "--builder", choices=["auto", "numpy", "native", "device"], default="auto"
+        "--builder", choices=["auto", "numpy", "native", "device"], default=icfg.builder
     )
-    pi.add_argument("--kmer", type=int, default=0, help="also build a j-mer table")
+    pi.add_argument("--kmer", type=int, default=icfg.kmer, help="also build a j-mer table")
     pi.add_argument(
         "--full-sa", action="store_true",
         help="keep the full suffix array in the index (locate = one gather)",
     )
     pi.add_argument(
-        "--seed", type=int, default=0,
+        "--seed", type=int, default=icfg.seed,
         help="also build a CSR j-mer seed table (index.seedtable)",
     )
     pi.set_defaults(fn=_cmd_index)
@@ -393,15 +398,15 @@ def main(argv=None) -> int:
     pa = sub.add_parser("align", help="align reads to an index")
     pa.add_argument("index")
     pa.add_argument("reads")
-    pa.add_argument("-o", "--out", default="-")
-    pa.add_argument("-k", type=int, default=2, help="max edit distance")
+    pa.add_argument("-o", "--out", default=acfg.out)
+    pa.add_argument("-k", type=int, default=acfg.k, help="max edit distance")
     pa.add_argument(
         "--mode",
         choices=["auto", "exact", "onemm", "pigeonhole", "staircase"],
-        default="auto",
+        default=acfg.mode,
     )
-    pa.add_argument("--batch-size", type=int, default=4096)
-    pa.add_argument("--max-hits-per-piece", type=int, default=8)
+    pa.add_argument("--batch-size", type=int, default=acfg.batch_size)
+    pa.add_argument("--max-hits-per-piece", type=int, default=acfg.max_hits_per_piece)
     pa.add_argument("--paired", help="R2 file: align as pairs (reads = R1)")
     pa.add_argument(
         "--interleaved", action="store_true",
@@ -415,7 +420,7 @@ def main(argv=None) -> int:
     pa.add_argument(
         "--n-interval",
         type=int,
-        default=1,
+        default=acfg.n_interval,
         help="interval-shard the index across this many devices (config 5)",
     )
     pa.set_defaults(fn=_cmd_align)

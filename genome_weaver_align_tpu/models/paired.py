@@ -142,16 +142,25 @@ class PairedAligner:
         return out
 
     def align_pairs(self, pairs: list[tuple[Read, Read]]) -> list[PairHit]:
-        """List-of-Read wrapper over the array-native pair path."""
+        """List-of-Read pair alignment over ANY aligner.
+
+        Aligners with the array API (SuffixFilterAligner) go through the
+        array-native fast path; list-API aligners (ShardedAligner,
+        OneMismatchAligner) align each mate with ``align_batch`` and share
+        the same batched rescue/pairing tail."""
         from .pipeline import reads_to_batch_verify
 
         r1 = [p[0] for p in pairs]
         r2 = [p[1] for p in pairs]
         l1 = np.array([len(r) for r in r1], dtype=np.int32)
         l2 = np.array([len(r) for r in r2], dtype=np.int32)
-        return self.align_pair_arrays(
-            reads_to_batch_verify(r1), l1, reads_to_batch_verify(r2), l2
-        )
+        c1 = reads_to_batch_verify(r1)
+        c2 = reads_to_batch_verify(r2)
+        if hasattr(self.al, "align_arrays_submit"):
+            return self.align_pair_arrays(c1, l1, c2, l2)
+        h1s = list(self.al.align_batch(r1))
+        h2s = list(self.al.align_batch(r2))
+        return self._pair_and_rescue(c1, l1, c2, l2, h1s, h2s)
 
     def align_pair_arrays(
         self,
@@ -170,6 +179,11 @@ class PairedAligner:
         p2 = self.al.align_arrays_submit(codes2, lengths2)
         h1s = hits_from_arrays(self.al.align_arrays_finish(p1))
         h2s = hits_from_arrays(self.al.align_arrays_finish(p2))
+        return self._pair_and_rescue(codes1, lengths1, codes2, lengths2, h1s, h2s)
+
+    def _pair_and_rescue(
+        self, codes1, lengths1, codes2, lengths2, h1s, h2s
+    ) -> list[PairHit]:
         # collect every half-mapped pair, rescue the whole cohort at once
         jobs, slots = [], []
         self.last_rescue_jobs = 0

@@ -143,30 +143,15 @@ def test_native_engine_bit_identical_to_numpy():
         import pytest
 
         pytest.skip("native library unavailable")
+    from tests.streams import mixed_stream
+
     rng = np.random.default_rng(3)
     for S, L, k in [(200, 150, 4), (200, 100, 2), (100, 64, 1)]:
         W = L + 3 * k
-        vcodes = rng.integers(0, 5, size=(S, L)).astype(np.int64)
-        wins = rng.integers(0, 5, size=(S, W)).astype(np.int64)
-        for t in range(S):
-            if t % 5 == 0:
-                continue
-            r = rng.integers(0, 4, size=L)
-            vcodes[t, :] = r
-            seg = r.copy().tolist()
-            for _ in range(rng.integers(0, k + 1)):
-                kind = rng.integers(0, 3)
-                at = int(rng.integers(5, len(seg) - 5))
-                if kind == 0:
-                    seg[at] = (seg[at] + 1) % 4
-                elif kind == 1:
-                    seg.insert(at, int(rng.integers(0, 4)))
-                else:
-                    del seg[at]
-            seg = (seg + [int(x) for x in rng.integers(0, 4, size=W)])[: W - k]
-            wins[t, k : k + len(seg)] = seg
-        lens = np.full(S, L, np.int64)
-        lens[::7] = L - rng.integers(0, 10)
+        reads, lens, wins = mixed_stream(rng, S, L, W, k)
+        vcodes = reads.astype(np.int64)
+        wins = wins.astype(np.int64)
+        lens = lens.astype(np.int64)
         ref = affine.affine_banded_batch_numpy(vcodes, lens, wins, k)
         nat = affine.affine_banded_batch(vcodes, lens, wins, k)
         assert np.array_equal(ref[0], nat[0])

@@ -10,32 +10,7 @@ import pytest
 import jax.numpy as jnp
 
 from genome_weaver_align_tpu.ops import myers, myers_pallas
-
-
-def _mixed_stream(rng, S, L, W, k):
-    """Planted sub/indel reads + junk rows + ragged lengths + N codes."""
-    reads = rng.integers(0, 5, size=(S, L)).astype(np.int32)
-    wins = rng.integers(0, 5, size=(S, W)).astype(np.int32)
-    for t in range(S):
-        if t % 5 == 0:
-            continue
-        r = rng.integers(0, 4, size=L)
-        reads[t] = r
-        seg = r.copy().tolist()
-        for _ in range(rng.integers(0, k + 1)):
-            kind = rng.integers(0, 3)
-            at = int(rng.integers(5, len(seg) - 5))
-            if kind == 0:
-                seg[at] = (seg[at] + 1) % 4
-            elif kind == 1:
-                seg.insert(at, int(rng.integers(0, 4)))
-            else:
-                del seg[at]
-        seg = (seg + [int(x) for x in rng.integers(0, 4, size=W)])[: W - k]
-        wins[t, k : k + len(seg)] = seg
-    lens = np.full(S, L, np.int64)
-    lens[::7] = L - rng.integers(1, min(L - 1, 40))
-    return reads, lens, wins
+from tests.streams import mixed_stream as _mixed_stream
 
 
 @pytest.mark.parametrize(

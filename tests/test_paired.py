@@ -91,3 +91,27 @@ def test_half_mapped_flags(gi):
         assert r2.flag & 0x4
         assert r1.flag & 0x8  # mate unmapped
         assert not (r1.flag & 0x2)
+
+
+def test_paired_over_list_api_aligners(gi):
+    """PairedAligner must work over aligners WITHOUT the array API —
+    ShardedAligner and OneMismatchAligner only expose align_batch
+    (regression: align_pairs once hard-required align_arrays_submit and
+    crashed for `align --paired --n-interval 2` / `--mode onemm`)."""
+    from genome_weaver_align_tpu.models.one_mismatch import OneMismatchAligner
+    from genome_weaver_align_tpu.parallel.sharded_pipeline import ShardedAligner
+
+    sims = simulate.simulate_pairs(
+        gi.genome.codes, 12, 80, seed=9, sub_rate=0.005, max_subs=1
+    )
+    pairs = [(s.r1.read, s.r2.read) for s in sims]
+    for mk in (
+        lambda: ShardedAligner(gi, k=2, n_interval=2),
+        lambda: OneMismatchAligner(gi),
+    ):
+        al = PairedAligner(mk(), rescue=True)
+        hits = al.align_pairs(pairs)
+        n_proper = sum(ph.proper for ph in hits)
+        assert n_proper >= 10, type(al.al).__name__
+        recs = al.to_sam(pairs, hits)
+        assert len(recs) == 2 * len(pairs)
