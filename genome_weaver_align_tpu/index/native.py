@@ -48,6 +48,14 @@ def _load():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.gwa_seed_table.restype = ctypes.c_int
+        lib.gwa_seed_table.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
     except Exception:
         _build_failed = True
@@ -97,6 +105,31 @@ def bwt_native(codes: np.ndarray, sa32: np.ndarray) -> tuple[np.ndarray, int]:
     if rc != 0:
         raise RuntimeError(f"gwa_bwt_u8 failed rc={rc}")
     return bwt, int(primary.value)
+
+
+def seed_table_native(codes: np.ndarray, j: int) -> tuple[np.ndarray, np.ndarray]:
+    """CSR j-mer table via the C++ counting sort (native/seedtable.cpp).
+
+    Identical layout to ``index.seedtable.build_seed_table`` (oracle-tested);
+    O(n) two-pass vs the NumPy argsort's O(n log n) — ~100x at chr1 scale.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native seed-table builder unavailable")
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = codes.size
+    offsets = np.empty(4**j + 1, dtype=np.int32)
+    positions = np.empty(n - j + 1, dtype=np.int32)
+    rc = lib.gwa_seed_table(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n),
+        ctypes.c_int32(j),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        positions.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"gwa_seed_table failed rc={rc}")
+    return offsets, positions
 
 
 def suffix_array_best(codes: np.ndarray) -> np.ndarray:

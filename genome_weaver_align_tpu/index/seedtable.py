@@ -41,8 +41,21 @@ def rolling_kmers(codes: np.ndarray, j: int) -> np.ndarray:
 
 
 def build_seed_table(codes: np.ndarray, j: int) -> tuple[np.ndarray, np.ndarray]:
-    """-> (offsets (4^j+1,) int32, positions (n-j+1,) int32)."""
+    """-> (offsets (4^j+1,) int32, positions (n-j+1,) int32).
+
+    Dispatches to the native C++ counting sort (two O(n) passes,
+    native/seedtable.cpp) when the shared library builds; the NumPy argsort
+    below is the oracle twin and the fallback."""
     assert 2 * j < 63
+    from . import native
+
+    if native.available() and codes.size < 2**31:
+        return native.seed_table_native(codes, j)
+    return build_seed_table_numpy(codes, j)
+
+
+def build_seed_table_numpy(codes: np.ndarray, j: int) -> tuple[np.ndarray, np.ndarray]:
+    """NumPy oracle/fallback builder (stable argsort over rolling j-mers)."""
     kv = rolling_kmers(codes, j)
     order = np.argsort(kv, kind="stable")  # groups by kmer, position-ascending
     counts = np.bincount(kv, minlength=4**j)

@@ -36,6 +36,22 @@ def test_seed_table_buckets_are_sorted_positions():
         assert np.array_equal(got, want)  # ascending by construction
 
 
+def test_seed_table_native_equals_numpy():
+    """C++ counting-sort builder (native/seedtable.cpp) vs the NumPy argsort
+    oracle: identical offsets AND positions (stable, position-ascending)."""
+    from genome_weaver_align_tpu.index import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    for n, j in ((3000, 4), (50_000, 7), (257, 3)):
+        codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+        no, npos = native.seed_table_native(codes, j)
+        oo, opos = seedtable.build_seed_table_numpy(codes, j)
+        assert np.array_equal(no, oo), (n, j)
+        assert np.array_equal(npos, opos), (n, j)
+
+
 def test_seed_candidates_superset_of_pigeonhole():
     """Every diagonal the exact-piece FM path proposes is proposed by the
     seed path too (before the max_cands cap)."""
