@@ -206,7 +206,7 @@ class SuffixFilterAligner:
         verify_slack: int = 6,  # batch-pooled verify budget (lanes/read avg);
         # 0 = per-read lanes (verify_candidates); >0 = compacted verify
         overflow_fallback: bool = True,  # rerun budget-overflowed reads with
-        # 4x hit/candidate budgets and per-read verify lanes (VERDICT r1
+        # FB_MULT-x hit/candidate budgets and per-read verify lanes (VERDICT r1
         # missing-#7: accuracy must not silently decay under slot pressure)
         scored: bool = True,  # emit indel CIGARs/POS/NM/AS from the scored
         # affine-gap aligner (ops.affine) instead of the unit-cost edit
@@ -525,8 +525,17 @@ class SuffixFilterAligner:
             ah = self._apply_overflow_fallback(ah, verify_fwd, np.asarray(lengths))
         return ah
 
+    FB_MULT = 16  # tier-1 fallback budget multiplier.  Swept on the repeat
+    # bench cohort (7,967 flooded reads of 32k, chr20-scale 25%-repeat
+    # genome): x4 -> 187 ms, 6,028 mapped, 1,939 left for the staircase;
+    # x16 -> 523 ms, 7,731 mapped, 236 left; x32 -> 977 ms, 187 left.
+    # The staircase tier costs ~2 ms/read (sequential FM extensions), so
+    # shrinking its cohort 8x for +340 ms of wide-bucket verify is a ~3x
+    # batch-time win; past x16 the extra tier-1 cost outruns the savings.
+
     def _get_fb(self) -> "SuffixFilterAligner":
-        """Fallback aligner: 4x hit/candidate budgets, per-read verify lanes.
+        """Fallback aligner: FB_MULT-x hit/candidate budgets, per-read
+        verify lanes.
 
         Shares the device-resident index/tables with the primary (copy, not
         rebuild — no duplicate HBM), differs only in static budgets, so its
@@ -535,8 +544,8 @@ class SuffixFilterAligner:
             import copy
 
             fb = copy.copy(self)
-            fb.max_hits = self.max_hits * 4
-            fb.max_cands = self.max_cands * 4
+            fb.max_hits = self.max_hits * self.FB_MULT
+            fb.max_cands = self.max_cands * self.FB_MULT
             fb.verify_slack = 0
             fb.overflow_fallback = False
             fb._fb = None
@@ -598,7 +607,7 @@ class SuffixFilterAligner:
         ah.strand[idx] = fh.strand[:n]
         ah.dist[idx] = fh.dist[:n]
         ah.n_good[idx] = fh.n_good[:n]
-        ah.overflow[idx] = fh.overflow[:n]  # still set if even 4x overflowed
+        ah.overflow[idx] = fh.overflow[:n]  # still set if even FB_MULT-x overflowed
         for t, i in enumerate(idx.tolist()):
             if t in fh.cigars:
                 ah.cigars[i] = fh.cigars[t]
@@ -610,7 +619,7 @@ class SuffixFilterAligner:
                 ah.aux.pop(i, None)
         self.last_stats["n_overflow_fallback"] = int(n)
 
-        # tier 2: reads STILL overflowed after 4x budgets AND unmapped go
+        # tier 2: reads STILL overflowed after FB_MULT-x budgets AND unmapped go
         # through the staircase narrowing search (see _get_fb2).  Mapped-but-
         # overflowed reads are not re-searched: their XO flag already marks
         # the multiplicity floor, and staircase time is reserved for reads

@@ -41,23 +41,33 @@ class Pool(NamedTuple):
 
 
 def _compact_pool(iv: BiInterval, mm, n_slots: int):
-    """Keep the first n_slots live lanes (stable), count total live."""
+    """Keep the first n_slots live lanes (stable), count total live.
+
+    O(S) cumsum + row-scatter (the same dense-work-queue trick as
+    ``suffix_filter.compact_lanes``): each live lane's target slot is its
+    exclusive running count; lanes past the budget and dead lanes scatter
+    out of range (dropped).  This runs INSIDE the per-character extension
+    loop, where the previous stable argsort over (B, 4*n_slots) lanes was
+    ~the whole staircase cost (bitonic sort passes vs one cumsum)."""
+    B, S4 = mm.shape
     alive = iv.hi > iv.lo
-    order = jnp.argsort(jnp.logical_not(alive).astype(jnp.int32), axis=1, stable=True)
-    take = order[:, :n_slots]
-    packed = BiInterval(*[jnp.take_along_axis(f, take, axis=1) for f in iv])
-    mm_p = jnp.take_along_axis(mm, take, axis=1)
-    live = jnp.sum(alive.astype(jnp.int32), axis=1)
-    # zero out slots beyond the live count (stale values after packing)
-    slot = jnp.arange(n_slots, dtype=jnp.int32)[None, :]
-    dead = slot >= jnp.minimum(live, n_slots)[:, None]
-    packed = BiInterval(
-        jnp.where(dead, 0, packed.lo),
-        jnp.where(dead, 0, packed.hi),
-        jnp.where(dead, 0, packed.rlo),
-        jnp.where(dead, 0, packed.rhi),
-    )
-    return packed, jnp.where(dead, 0, mm_p), live
+    slot = jnp.cumsum(alive.astype(jnp.int32), axis=1) - 1  # (B, S4)
+    live = slot[:, -1] + 1
+    rowbase = jnp.arange(B, dtype=jnp.int32)[:, None] * n_slots
+    flat_tgt = jnp.where(
+        alive & (slot < n_slots), rowbase + slot, B * n_slots
+    ).reshape(-1)
+
+    def scat(field):
+        return (
+            jnp.zeros((B * n_slots,), field.dtype)
+            .at[flat_tgt]
+            .set(field.reshape(-1), mode="drop")
+            .reshape(B, n_slots)
+        )
+
+    packed = BiInterval(scat(iv.lo), scat(iv.hi), scat(iv.rlo), scat(iv.rhi))
+    return packed, scat(mm), live
 
 
 @partial(jax.jit, static_argnames=("k", "n_slots", "hits_per_state", "keep", "max_len"))
