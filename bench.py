@@ -24,6 +24,7 @@ import numpy as np
 ROOT = Path(__file__).resolve().parent
 CACHE = ROOT / "bench_cache"
 BASELINE_FILE = ROOT / "bench_baseline.json"
+PARTIAL_FILE = ROOT / "bench_partial.json"
 
 E_COLI = 4_641_652
 CHR20 = 64_444_167
@@ -44,6 +45,50 @@ SEED_J = 13
 def log(msg):
     sys.stderr.write(f"bench: {msg}\n")
     sys.stderr.flush()
+
+
+def sustained_rate(batch_times, B) -> float:
+    """Trimmed-mean sustained rate (VERDICT r3 missing-#5): mean batch time
+    with the single slowest batch dropped (shared-pool interference spikes
+    are external events, but ONE drop only — systematic slowness must show).
+    Reported ALONGSIDE the min-pair statistic, never instead of it."""
+    bt = np.sort(np.asarray(batch_times, dtype=np.float64))
+    if bt.size >= 4:
+        bt = bt[:-1]
+    return float(B / bt.mean())
+
+
+def _artifact_line(metrics, failed, *, timed_out=False):
+    """The single JSON artifact line, buildable at ANY point of the run."""
+    headline = "pipeline_k2_100bp_chr20_reads_per_s"
+    value = metrics.get(headline)
+    base = {}
+    if BASELINE_FILE.exists():
+        base = json.loads(BASELINE_FILE.read_text())
+    vs = (
+        round(value / base[headline], 3)
+        if value is not None and headline in base
+        else None
+    )
+    obj = {
+        "metric": "suffix-filter k=2 pipeline reads/s/chip (100bp vs chr20-scale)",
+        "value": value,
+        "unit": "reads/s",
+        "vs_baseline": vs,
+        "extra": dict(metrics),
+        "failed": list(failed),
+    }
+    if timed_out:
+        obj["timed_out"] = True
+    return obj
+
+
+def _checkpoint(metrics, failed):
+    """Persist the would-be artifact after every sub-bench so a kill at any
+    point leaves a parseable record on disk (VERDICT r3 missing-#1: two
+    rounds of BENCH_r*.json were parsed=null because the run died mid-way
+    with nothing written)."""
+    PARTIAL_FILE.write_text(json.dumps(_artifact_line(metrics, failed)))
 
 
 def _load_fm(path):
@@ -300,6 +345,9 @@ def bench_pipeline(metrics):
         round(float(f(bt)) * 1e3, 1) for f in (np.min, np.median, np.max)
     ]
     metrics["pipeline_k2_100bp_chr20_reads_per_s"] = round(rate, 1)
+    metrics["pipeline_k2_100bp_chr20_reads_per_s_sustained"] = round(
+        sustained_rate(bt, HEADLINE_BATCH), 1
+    )
     metrics["pipeline_mapped_frac"] = round(n_mapped / total, 4)
     metrics["pipeline_correct_frac"] = round(n_correct / total, 4)
     log(f"pipeline 100bp chr20: {rate:,.0f} reads/s ({n_correct}/{total} correct)")
@@ -371,7 +419,7 @@ def bench_pipeline_chr1(metrics):
         max_cands=24, verify_slack=12,
     )
 
-    n_batches = 4
+    n_batches = 6  # >= 6 batches for a meaningful trimmed mean (VERDICT r3 #7)
     log("simulating chr1 reads (150bp, subs+indels, edit<=4)...")
     rarr, true_pos, true_strand, has_indel = simulate.simulate_reads_array(
         codes, PIPE_BATCH * n_batches, 150, seed=9, max_subs=3, indel_frac=0.1
@@ -405,6 +453,9 @@ def bench_pipeline_chr1(metrics):
     assert len(recs) == PIPE_BATCH and lines
 
     metrics["pipeline_k4_150bp_chr1_reads_per_s"] = round(rate, 1)
+    metrics["pipeline_k4_150bp_chr1_reads_per_s_sustained"] = round(
+        sustained_rate(bt, PIPE_BATCH), 1
+    )
     metrics["chr1_mapped_frac"] = round(n_mapped / total, 4)
     metrics["chr1_correct_frac"] = round(n_correct / total, 4)
     metrics["chr1_overflow_frac"] = round(n_overflow / total, 5)
@@ -447,7 +498,7 @@ def bench_repeat(metrics):
         max_cands=12, verify_slack=4,
     )
 
-    n_batches = 4
+    n_batches = 6
     rarr, true_pos, true_strand, _ = simulate.simulate_reads_array(
         codes, PIPE_BATCH * n_batches, 100, seed=13, max_subs=2
     )
@@ -462,6 +513,9 @@ def bench_repeat(metrics):
     pair = (bt[:-1] + bt[1:]) / 2 if bt.size > 1 else bt
     rate = PIPE_BATCH / float(np.min(pair))
     metrics["repeat_pipeline_reads_per_s"] = round(rate, 1)
+    metrics["repeat_pipeline_reads_per_s_sustained"] = round(
+        sustained_rate(bt, PIPE_BATCH), 1
+    )
     metrics["repeat_mapped_frac"] = round(n_mapped / total, 4)
     metrics["repeat_correct_frac"] = round(n_correct / total, 4)
     metrics["repeat_overflow_frac"] = round(n_overflow / total, 5)
@@ -683,7 +737,7 @@ def bench_paired(metrics):
     )
     pa = PairedAligner(al, min_insert=200, max_insert=600)
 
-    B, L, n_batches = 16_384, 100, 3
+    B, L, n_batches = 16_384, 100, 6
     rng = np.random.default_rng(21)
     n = B * n_batches
     insert = rng.integers(250, 550, size=n)
@@ -718,11 +772,14 @@ def bench_paired(metrics):
         n_mapped += sum((ph.h1 is not None) + (ph.h2 is not None) for ph in phs)
         log(
             f"paired batch {b}: {batch_times[-1]*1e3:.0f} ms, "
-            f"rescue_jobs={pa.last_rescue_jobs}"
+            f"rescue_jobs={pa.last_rescue_jobs}, phases={pa.last_phase_ms}"
         )
     total_pairs = B * n_batches
     rate = B / float(np.min(batch_times))
     metrics["paired_pairs_per_s"] = round(rate, 1)
+    metrics["paired_pairs_per_s_sustained"] = round(
+        sustained_rate(batch_times, B), 1
+    )
     metrics["paired_proper_frac"] = round(n_proper / total_pairs, 4)
     metrics["paired_rescued_frac"] = round(n_rescued / total_pairs, 4)
     metrics["paired_mapped_frac"] = round(n_mapped / (2 * total_pairs), 4)
@@ -765,8 +822,41 @@ def bench_sa(metrics):
     assert np.array_equal(sa_host, sa_dev), "device SA != native SA"
 
 
+def bench_gbp(metrics):
+    """BASELINE.json config 5 at real scale (VERDICT r3 missing-#3): align a
+    150bp stream against a prebuilt multi-part index of a synthetic >=1 Gbp
+    genome.  The index build is offline (scripts/build_gbp_index.py records
+    build-time metrics into bench_cache/gbp_meta.json); this sub-bench only
+    runs when that cache exists — `python bench.py --only gbp` after the
+    build, so the default round artifact stays within the driver budget."""
+    meta_path = CACHE / "gbp_meta.json"
+    if not meta_path.exists():
+        log("gbp: no prebuilt multi-part cache (scripts/build_gbp_index.py); skipping")
+        return
+    from genome_weaver_align_tpu.index import multipart_io
+
+    meta = json.loads(meta_path.read_text())
+    for key in ("gbp_total_bp", "gbp_n_parts", "gbp_build_s", "gbp_part_hbm_bytes"):
+        if key in meta:
+            metrics[key] = meta[key]
+    mi = multipart_io.load_multi_index(CACHE / "gbp_parts")
+    rate, mapped_frac, correct_frac = multipart_io.bench_align_stream(
+        mi, n_batches=4, batch=16_384, read_len=150, seed=29, log=log
+    )
+    metrics["multi_part_1gbp_reads_per_s"] = round(rate, 1)
+    metrics["multi_part_1gbp_mapped_frac"] = round(mapped_frac, 4)
+    metrics["multi_part_1gbp_correct_frac"] = round(correct_frac, 4)
+    log(
+        f"gbp multi-part: {rate:,.0f} reads/s, mapped {mapped_frac:.4f}, "
+        f"correct {correct_frac:.4f}"
+    )
+    assert mapped_frac >= 0.97, mapped_frac
+
+
 def main():
     import argparse
+    import os
+    import signal
     import traceback
 
     import jax
@@ -774,7 +864,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--only", default=None,
-        help="comma-separated sub-bench names (exact,pipeline,gcups,repeat,chr1,paired,sa)",
+        help="comma-separated sub-bench names "
+        "(exact,pipeline,gcups,repeat,chr1,paired,sa,gbp)",
     )
     args = ap.parse_args()
 
@@ -793,10 +884,27 @@ def main():
         ("chr1", bench_pipeline_chr1),
         ("paired", bench_paired),
         ("sa", bench_sa),
+        ("gbp", bench_gbp),  # config-5 scale probe: needs a prebuilt
+        # multi-part cache (scripts/build_gbp_index.py), skips cleanly
     ]
     only = set(args.only.split(",")) if args.only else None
     metrics = {}
     failed = []
+
+    # timeout-proofing (VERDICT r3 missing-#1): `timeout` kills with SIGTERM
+    # — emit whatever has been measured so far as the one JSON line before
+    # dying, so a driver timeout still leaves parsed != null as long as the
+    # headline (which runs FIRST) finished.
+    def _emit_and_die(signum, frame):
+        sys.stdout.write(
+            json.dumps(_artifact_line(metrics, failed, timed_out=True)) + "\n"
+        )
+        sys.stdout.flush()
+        os._exit(0 if metrics else 1)
+
+    signal.signal(signal.SIGTERM, _emit_and_die)
+    signal.signal(signal.SIGINT, _emit_and_die)
+
     for name, fn in subs:
         if only is not None and name not in only:
             continue
@@ -806,30 +914,19 @@ def main():
             failed.append({"name": name, "error": f"{type(e).__name__}: {e}"})
             log(f"SUB-BENCH FAILED: {name}: {e}")
             traceback.print_exc(file=sys.stderr)
+        _checkpoint(metrics, failed)
 
     headline = "pipeline_k2_100bp_chr20_reads_per_s"
     value = metrics.get(headline)
-
-    base = {}
-    if BASELINE_FILE.exists():
+    if value is not None and BASELINE_FILE.exists():
         base = json.loads(BASELINE_FILE.read_text())
-    if value is not None and headline not in base:
-        base[headline] = value
-        BASELINE_FILE.write_text(json.dumps(base, indent=1))
-    vs = round(value / base[headline], 3) if value is not None else None
+        if headline not in base:
+            base[headline] = value
+            BASELINE_FILE.write_text(json.dumps(base, indent=1))
+    elif value is not None and not BASELINE_FILE.exists():
+        BASELINE_FILE.write_text(json.dumps({headline: value}, indent=1))
 
-    print(
-        json.dumps(
-            {
-                "metric": "suffix-filter k=2 pipeline reads/s/chip (100bp vs chr20-scale)",
-                "value": value,
-                "unit": "reads/s",
-                "vs_baseline": vs,
-                "extra": metrics,
-                "failed": failed,
-            }
-        )
-    )
+    print(json.dumps(_artifact_line(metrics, failed)))
     # rc gates only on the headline (sub-bench failures are REPORTED in the
     # JSON, not fatal), and the headline is only required when
     # bench_pipeline was part of the selection (`--only sa` must not exit 1

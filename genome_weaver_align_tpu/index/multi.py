@@ -19,6 +19,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..utils.fasta import Contig
+from ..utils.larray import check_device_indexable
 from .build import FMIndexData, build_fm_index
 from .files import Genome, GenomeIndex
 
@@ -74,6 +75,9 @@ def build_multi_index(
                 f"contig {names[i]} exceeds part_limit {part_limit}; split it"
             )
         genome = Genome.from_contigs(contigs[i:j])
+        # device tables index with int32: a part (plus its $ sentinel row)
+        # must stay device-indexable whatever part_limit the caller chose
+        check_device_indexable(genome.codes.size + 1, "index part")
         fwd = build_fm_index(genome.codes, sample_rate=sample_rate)
         rev = (
             build_fm_index(genome.codes[::-1].copy(), sample_rate=sample_rate)

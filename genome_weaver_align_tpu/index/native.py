@@ -20,8 +20,49 @@ _lib = None
 _build_failed = False
 
 
+# (symbol name, argtypes) — bound individually so a prebuilt .so missing a
+# newer symbol degrades per-symbol instead of disabling ALL native paths
+# (ADVICE r3: an AttributeError here used to set _build_failed globally)
+_SYMBOLS = {
+    "gwa_sais_u8": [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+    ],
+    "gwa_bwt_u8": [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ],
+    "gwa_seed_table": [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ],
+}
+_missing: set[str] = set()
+
+
+def _bind(lib) -> set[str]:
+    """Bind every known symbol; return the set that could not be bound."""
+    missing = set()
+    for name, argtypes in _SYMBOLS.items():
+        try:
+            fn = getattr(lib, name)
+        except AttributeError:
+            missing.add(name)
+            continue
+        fn.restype = ctypes.c_int
+        fn.argtypes = argtypes
+    return missing
+
+
 def _load():
-    global _lib, _build_failed
+    global _lib, _build_failed, _missing
     if _lib is not None or _build_failed:
         return _lib
     try:
@@ -34,28 +75,18 @@ def _load():
                 ["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True
             )
         lib = ctypes.CDLL(str(_LIB_PATH))
-        lib.gwa_sais_u8.restype = ctypes.c_int
-        lib.gwa_sais_u8.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int64,
-        ]
-        lib.gwa_bwt_u8.restype = ctypes.c_int
-        lib.gwa_bwt_u8.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.gwa_seed_table.restype = ctypes.c_int
-        lib.gwa_seed_table.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int64,
-            ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32),
-        ]
+        missing = _bind(lib)
+        if missing and any(_NATIVE_DIR.glob("*.cpp")):
+            # a stale prebuilt .so (e.g. shipped without sources newer than
+            # it, so the mtime check could not trigger) — force one rebuild
+            del lib
+            _LIB_PATH.unlink(missing_ok=True)
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True
+            )
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            missing = _bind(lib)
+        _missing = missing
         _lib = lib
     except Exception:
         _build_failed = True
@@ -64,14 +95,23 @@ def _load():
 
 
 def available() -> bool:
-    return _load() is not None
+    """True when the core SA-IS/BWT symbols are usable."""
+    return _load() is not None and not (
+        {"gwa_sais_u8", "gwa_bwt_u8"} & _missing
+    )
+
+
+def _require(symbol: str):
+    lib = _load()
+    if lib is None or symbol in _missing:
+        raise RuntimeError(f"native symbol {symbol} unavailable (build failed "
+                           "or stale library without the symbol)")
+    return lib
 
 
 def suffix_array_native(codes: np.ndarray) -> np.ndarray:
     """SA of codes+$ via C++ SA-IS; int64 result for API parity."""
-    lib = _load()
-    if lib is None:
-        raise RuntimeError("native SA-IS unavailable (build failed)")
+    lib = _require("gwa_sais_u8")
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     m = codes.size
     sa = np.empty(m + 1, dtype=np.int32)
@@ -87,9 +127,7 @@ def suffix_array_native(codes: np.ndarray) -> np.ndarray:
 
 def bwt_native(codes: np.ndarray, sa32: np.ndarray) -> tuple[np.ndarray, int]:
     """(bwt codes with $ row dropped, primary row index)."""
-    lib = _load()
-    if lib is None:
-        raise RuntimeError("native unavailable")
+    lib = _require("gwa_bwt_u8")
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     sa32 = np.ascontiguousarray(sa32, dtype=np.int32)
     m = codes.size
@@ -113,11 +151,18 @@ def seed_table_native(codes: np.ndarray, j: int) -> tuple[np.ndarray, np.ndarray
     Identical layout to ``index.seedtable.build_seed_table`` (oracle-tested);
     O(n) two-pass vs the NumPy argsort's O(n log n) — ~100x at chr1 scale.
     """
-    lib = _load()
-    if lib is None:
-        raise RuntimeError("native seed-table builder unavailable")
+    lib = _require("gwa_seed_table")
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     n = codes.size
+    # mirror the C++ guard BEFORE allocating: a bad j would otherwise
+    # attempt a multi-GB 4^j allocation and n < j raises a confusing
+    # negative-dimension error from np.empty (ADVICE r3)
+    if not (1 <= j and 2 * j <= 62):
+        raise ValueError(f"seed table j={j} out of range (1 <= j, 2j <= 62)")
+    if n < j:
+        raise ValueError(f"sequence length {n} shorter than j={j}")
+    if n >= 1 << 31:
+        raise ValueError(f"sequence length {n} >= 2^31 (int32 positions)")
     offsets = np.empty(4**j + 1, dtype=np.int32)
     positions = np.empty(n - j + 1, dtype=np.int32)
     rc = lib.gwa_seed_table(

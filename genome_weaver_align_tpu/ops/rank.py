@@ -67,6 +67,10 @@ def fuse_blocks(bwt_words: np.ndarray, occ_cp: np.ndarray) -> np.ndarray:
 
 
 def from_host(fm: FMIndexData) -> DeviceFMIndex:
+    from ..utils.larray import check_device_indexable
+
+    # every device-side lookup (LF, locate, occ) indexes with int32
+    check_device_indexable(fm.n + 1, "FM index")
     marks = fm.ssa_marks
     mw = marks._wpad
     mb = mw.size // MARK_WORDS_PER_BLOCK

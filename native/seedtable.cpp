@@ -28,7 +28,10 @@ extern "C" int gwa_seed_table(const uint8_t* codes, int64_t n, int32_t j,
   const int64_t B = int64_t(1) << (2 * j);  // 4^j buckets
   const uint64_t mask = (B - 1);
 
-  int64_t* counts = static_cast<int64_t*>(calloc(size_t(B), sizeof(int64_t)));
+  // int32 counts: every count and cursor is bounded by nk < 2^31 (guarded
+  // above); halves the transient footprint (~268 MB at j=13) and improves
+  // cache behavior of the two O(n) passes (ADVICE r3)
+  int32_t* counts = static_cast<int32_t*>(calloc(size_t(B), sizeof(int32_t)));
   if (!counts) return -2;
 
   // pass 1: histogram (rolling value: shift in 2 bits/char, mask to 2j bits)
@@ -43,8 +46,8 @@ extern "C" int gwa_seed_table(const uint8_t* codes, int64_t n, int32_t j,
   int64_t run = 0;
   for (int64_t b = 0; b < B; ++b) {
     offsets[b] = int32_t(run);
-    int64_t c = counts[b];
-    counts[b] = run;  // becomes the scatter cursor
+    int32_t c = counts[b];
+    counts[b] = int32_t(run);  // becomes the scatter cursor
     run += c;
   }
   offsets[B] = int32_t(run);
