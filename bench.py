@@ -393,12 +393,8 @@ def bench_pipeline_chr1(metrics):
     """BASELINE.json config 4: full pipeline with indels (edit <= 4) + SAM,
     150bp vs human-chr1-scale (230 Mbp), k=4 (VERDICT r1 missing-#2)."""
     from genome_weaver_align_tpu.index.files import Genome, GenomeIndex
-    from genome_weaver_align_tpu.models.pipeline import (
-        SuffixFilterAligner,
-        hits_from_arrays,
-    )
+    from genome_weaver_align_tpu.models.pipeline import SuffixFilterAligner
     from genome_weaver_align_tpu.utils import simulate
-    from genome_weaver_align_tpu.utils.fasta import Read
 
     codes, fm = build_or_load_index(CHR1, tag="chr1_r8", sample_rate=8)
     genome = Genome(
@@ -444,13 +440,14 @@ def bench_pipeline_chr1(metrics):
         & (np.abs(ah0.pos[idx] - true_pos[idx]) <= 4)
         & (ah0.strand[idx] == true_strand[idx])
     )
-    # SAM emission timed on one batch (config 4 includes SAM output)
-    reads = [Read(f"r{i}", rarr[i].astype(np.uint8)) for i in range(PIPE_BATCH)]
+    # SAM emission timed on one batch (config 4 includes SAM output).
+    # Times the PRODUCTION emitter (to_sam_lines, the CLI streaming path);
+    # names are prebuilt because the streaming parser supplies them.
+    names = [f"r{i}" for i in range(PIPE_BATCH)]
     t0 = time.time()
-    recs = al.to_sam(reads, hits_from_arrays(ah0))
-    lines = "\n".join(r.line() for r in recs)
+    lines = "\n".join(al.to_sam_lines(names, rarr[:PIPE_BATCH], lengths_row, ah0))
     sam_dt = time.time() - t0
-    assert len(recs) == PIPE_BATCH and lines
+    assert lines.count("\n") == PIPE_BATCH - 1
 
     metrics["pipeline_k4_150bp_chr1_reads_per_s"] = round(rate, 1)
     metrics["pipeline_k4_150bp_chr1_reads_per_s_sustained"] = round(

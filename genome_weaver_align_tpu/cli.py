@@ -254,8 +254,7 @@ def _align_array_stream(args, gi, aligner, sw) -> int:
     SAM emission."""
     import json
 
-    from .models.pipeline import hits_from_arrays
-    from .utils.fasta import Read, iter_fastq_array_batches
+    from .utils.fasta import iter_fastq_array_batches
     from .utils.log import profile_to
 
     progress_path = (args.out + ".progress") if args.out != "-" else None
@@ -280,12 +279,10 @@ def _align_array_stream(args, gi, aligner, sw) -> int:
     def emit(pb, ah, names, codes, quals, lengths):
         nonlocal n_mapped
         n_mapped += int(ah.mapped.sum())
-        batch_reads = [
-            Read(names[i], codes[i, : lengths[i]], quals[i, : lengths[i]])
-            for i in range(len(names))
-        ]
-        for rec in aligner.to_sam(batch_reads, hits_from_arrays(ah)):
-            out_fh.write(rec.line() + "\n")
+        # column-wise emission straight from ArrayHits: no per-read
+        # Read/SamRecord objects on the streaming fast path
+        lines = aligner.to_sam_lines(names, codes, lengths, ah, quals=quals)
+        out_fh.write("\n".join(lines) + "\n")
         if progress_path:
             with open(progress_path, "w") as fh:
                 fh.write(json.dumps({"batches_done": pb + 1}))

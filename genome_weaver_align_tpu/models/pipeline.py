@@ -662,9 +662,31 @@ class SuffixFilterAligner:
                     ah.aux.pop(i, None)
         return ah
 
-    def to_sam(self, reads: list[Read], hits) -> list[sam.SamRecord]:
-        from ..ops import affine as affine_ops
+    def to_sam_lines(
+        self,
+        names,
+        codes: np.ndarray,
+        lengths: np.ndarray,
+        ah: "ArrayHits",
+        quals: np.ndarray | None = None,
+    ) -> list[str]:
+        """Vectorised SAM emission straight from ArrayHits — the array-native
+        fast path (column-wise assembly; see utils.sam.lines_from_arrays).
+        Byte-identical to ``to_sam`` for every mapped read; unmapped
+        overflow rows additionally carry XO:i:1 (the object path cannot,
+        because ``hits_from_arrays`` folds unmapped rows to None)."""
+        return sam.lines_from_arrays(
+            names,
+            codes,
+            lengths,
+            ah,
+            self.gi.genome.names,
+            np.asarray(self.gi.genome.offsets),
+            quals=quals,
+            scored=getattr(self, "scored", False),
+        )
 
+    def to_sam(self, reads: list[Read], hits) -> list[sam.SamRecord]:
         recs = []
         for r, h in zip(reads, hits):
             if h is None:
