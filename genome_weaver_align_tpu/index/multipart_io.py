@@ -1,0 +1,231 @@
+"""Disk layout + streaming alignment for multi-part indexes beyond 2^31
+(SURVEY.md §7 hard parts; BASELINE.json config 5 at real scale).
+
+``index.multi`` proves the merge semantics at toy scale but keeps every
+part's tables in RAM and on-device at once — impossible for a ~3 Gbp
+genome whose parts each carry multi-GB seed tables.  This module is the
+production-scale counterpart:
+
+- each part is serialized standalone (FM arrays + CSR seed table + its
+  slice of the contig table), so a build can stream parts through RAM;
+- alignment iterates PARTS in the outer loop and read batches in the
+  inner loop: one part's tables are HBM-resident at a time, every batch
+  is scanned against it, per-read bests improve-merge across parts with
+  the same deterministic (dist, global_pos, strand) order as
+  ``index.multi.MultiIndexAligner`` — so the result is bit-identical to
+  a hypothetical single-index run, while peak HBM stays one part's
+  footprint (measured ~5 GB/part at 1.6 Gbp, v5e has 16 GB).
+
+Build entry point: ``scripts/build_gbp_index.py`` (offline, native SA-IS
+per part; records build times into ``gbp_meta.json`` for the bench).
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from ..utils.bitvector import BitVector
+from .build import FMIndexData
+
+
+@dataclass
+class PartMeta:
+    names: list[str]  # contig names in this part
+    lengths: list[int]
+    global_offset: int  # genome-global position of this part's base 0
+
+
+def save_part(
+    part_dir: Path,
+    i: int,
+    fm: FMIndexData,
+    seed_offsets: np.ndarray,
+    seed_positions: np.ndarray,
+    seed_j: int,
+    meta: PartMeta,
+) -> int:
+    """Serialize one part; returns the device-upload byte total (the HBM
+    footprint this part costs while active)."""
+    part_dir.mkdir(parents=True, exist_ok=True)
+    marks = fm.ssa_marks.get(np.arange(fm.n + 1))
+    np.savez(
+        part_dir / f"part{i}.npz",
+        n=fm.n,
+        primary=fm.primary,
+        counts=fm.counts,
+        C=fm.C,
+        bwt_words=fm.bwt_words,
+        occ_cp_i32=fm.occ_cp.astype(np.int32),
+        sample_rate=fm.sample_rate,
+        mark_bits=np.packbits(marks),
+        ssa_values_i32=fm.ssa_values.astype(np.int32),
+        text_words=fm.text_words,
+        seed_offsets=seed_offsets,
+        seed_positions=seed_positions,
+        seed_j=seed_j,
+        names=np.array(meta.names),
+        lengths=np.array(meta.lengths, dtype=np.int64),
+        global_offset=np.int64(meta.global_offset),
+    )
+    hbm = (
+        fm.bwt_words.nbytes
+        + fm.occ_cp.size * 4  # int32 on device
+        + marks.size // 8
+        + fm.ssa_values.size * 4
+        + fm.text_words.nbytes
+        + seed_offsets.nbytes
+        + seed_positions.nbytes
+    )
+    return int(hbm)
+
+
+def load_part(part_dir: Path, i: int):
+    """-> (GenomeIndex, (seed_offsets, seed_positions), seed_j, global_offset).
+
+    The Genome carries an EMPTY codes array: the aligner's window/traceback
+    reads go through the packed ``text_words`` (fm.extract), and SAM
+    emission only needs names/offsets — holding 1.6 GB of raw codes per
+    part in host RAM would defeat the streaming layout."""
+    from .files import Genome, GenomeIndex
+
+    z = np.load(part_dir / f"part{i}.npz")
+    n = int(z["n"])
+    bits = np.unpackbits(z["mark_bits"])[: n + 1].astype(bool)
+    fm = FMIndexData(
+        n=n,
+        primary=int(z["primary"]),
+        counts=z["counts"],
+        C=z["C"],
+        bwt_words=z["bwt_words"],
+        occ_cp=z["occ_cp_i32"].astype(np.int64),
+        sample_rate=int(z["sample_rate"]),
+        ssa_marks=BitVector(bits),
+        ssa_values=z["ssa_values_i32"].astype(np.int64),
+        text_words=z["text_words"],
+    )
+    lengths = z["lengths"]
+    offsets = np.zeros(lengths.size + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    genome = Genome(
+        names=[str(s) for s in z["names"]],
+        offsets=offsets,
+        codes=np.zeros(0, dtype=np.uint8),
+        n_mask_spans=np.zeros((0, 2), np.int64),
+    )
+    gi = GenomeIndex(genome, fm, None)
+    return (
+        gi,
+        (z["seed_offsets"], z["seed_positions"]),
+        int(z["seed_j"]),
+        int(z["global_offset"]),
+    )
+
+
+@dataclass
+class MultiPartIndex:
+    part_dir: Path
+    n_parts: int
+    names: list[str]  # all contig names, global order
+    lengths: list[int]
+    part_offsets: list[int]
+
+
+def load_multi_index(part_dir: Path) -> MultiPartIndex:
+    meta = json.loads((Path(part_dir) / "parts.json").read_text())
+    return MultiPartIndex(
+        part_dir=Path(part_dir),
+        n_parts=meta["n_parts"],
+        names=meta["names"],
+        lengths=meta["lengths"],
+        part_offsets=meta["part_offsets"],
+    )
+
+
+def align_stream_multipart(
+    mi: MultiPartIndex,
+    reads: np.ndarray,  # (N, L) int8 forward verify codes
+    lengths_row: np.ndarray,  # (B,) — uniform batch shape
+    batch: int,
+    k: int = 2,
+    log=lambda m: None,
+):
+    """Align every read against every part, improve-merging per-read bests.
+
+    Returns (best_dist, best_gpos, best_strand, mapped, wall_s) with
+    genome-GLOBAL positions.  Parts stream through HBM one at a time."""
+    from ..models.pipeline import SuffixFilterAligner
+
+    N = reads.shape[0]
+    n_batches = N // batch
+    INF = 1 << 20
+    best_dist = np.full(N, INF, np.int64)
+    best_gpos = np.full(N, np.int64(1) << 62, np.int64)
+    best_strand = np.zeros(N, np.int64)
+
+    t0 = time.time()
+    for p in range(mi.n_parts):
+        tp = time.time()
+        gi, seed_tab, seed_j, goff = load_part(mi.part_dir, p)
+        al = SuffixFilterAligner(
+            gi, k=k, max_hits_per_piece=8, seed_table=seed_tab, seed_j=seed_j,
+            max_cands=12, verify_slack=4,
+        )
+        log(f"part {p}: loaded+uploaded in {time.time()-tp:.1f}s (n={gi.fwd.n})")
+
+        def submit(b):
+            return al.align_arrays_submit(reads[b * batch : (b + 1) * batch], lengths_row)
+
+        pending = submit(0)
+        for b in range(n_batches):
+            tb = time.time()
+            nxt = submit(b + 1) if b + 1 < n_batches else None
+            ah = al.align_arrays_finish(pending)
+            pending = nxt
+            log(f"part {p} batch {b}: {(time.time()-tb)*1e3:.0f} ms, stats={al.last_stats}")
+            sl = slice(b * batch, (b + 1) * batch)
+            d = np.where(ah.mapped, ah.dist, INF)
+            g = np.where(ah.mapped, ah.pos + goff, np.int64(1) << 62)
+            st = ah.strand
+            # deterministic improve-merge: (dist, global_pos, strand)
+            cur = (best_dist[sl], best_gpos[sl], best_strand[sl])
+            better = (d < cur[0]) | (
+                (d == cur[0])
+                & ((g < cur[1]) | ((g == cur[1]) & (st < cur[2])))
+            )
+            best_dist[sl] = np.where(better, d, cur[0])
+            best_gpos[sl] = np.where(better, g, cur[1])
+            best_strand[sl] = np.where(better, st, cur[2])
+        del al, gi, seed_tab
+        gc.collect()  # drop this part's device buffers before the next upload
+    wall = time.time() - t0
+    mapped = best_dist <= k
+    return best_dist, best_gpos, best_strand, mapped, wall
+
+
+def bench_align_stream(
+    mi: MultiPartIndex, n_batches: int, batch: int, read_len: int, seed: int,
+    log=lambda m: None,
+):
+    """Bench driver: loads the prebuilt paired-style read stream (written by
+    scripts/build_gbp_index.py next to the parts) and aligns it through the
+    multi-part merge path."""
+    z = np.load(mi.part_dir / "reads.npz")
+    reads, true_gpos, true_strand = z["reads"], z["true_gpos"], z["true_strand"]
+    N = min(n_batches * batch, reads.shape[0] - reads.shape[0] % batch)
+    reads = reads[:N].astype(np.int8)
+    lengths_row = np.full(batch, reads.shape[1], np.int32)
+
+    # warmup/compile on one batch (first part only costs the jit once; the
+    # per-part loop reuses the same executable shapes)
+    dist, gpos, strand, mapped, wall = align_stream_multipart(
+        mi, reads, lengths_row, batch, log=log
+    )
+    rate = N / wall
+    correct = mapped & (gpos == true_gpos[:N]) & (strand == true_strand[:N])
+    return rate, float(mapped.mean()), float(correct.mean())

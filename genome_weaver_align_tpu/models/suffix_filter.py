@@ -36,7 +36,13 @@ class CandidateResult(NamedTuple):
     overflow: jax.Array  # (B,) bool — some piece interval exceeded the cap
 
 
-NO_CAND = jnp.int32(2**30)
+# invalid-candidate sentinel: must sort AFTER every real candidate diagonal
+# so the "sorted ascending, NO_CAND tail" invariant (dedup slice, best_hit
+# tie-break) holds.  Diagonals reach n - 1 < PART_LIMIT_DEFAULT = 2^31-2^20,
+# so this value is strictly above any real position for every device-legal
+# index part (the old 2^30 sentinel sat BELOW real positions in parts over
+# ~1.07 Gbp and silently displaced them in the max_cands slice).
+NO_CAND = jnp.int32(2**31 - 2**20)
 
 
 def compact_lanes(valid: jax.Array, K: int):
