@@ -109,6 +109,8 @@ def _cmd_align(args) -> int:
     mode = cfg.mode
     if mode == "auto":
         mode = "exact" if cfg.k == 0 else "pigeonhole"
+    if mode == "long":
+        return _align_long_reads(args, cfg, gi, kmer_kwargs, sw)
     if cfg.n_interval > 1:
         from .parallel.sharded_pipeline import ShardedAligner
 
@@ -242,6 +244,81 @@ def _cmd_align(args) -> int:
         }
         with open(args.report, "w") as fh:
             fh.write(json.dumps(report, indent=1))
+        sw.lap(f"report -> {args.report}")
+    return 0
+
+
+def _align_long_reads(args, cfg, gi, kmer_kwargs, sw) -> int:
+    """``--mode long``: chunked seeding + diagonal voting for reads past the
+    short-read machines (models.long_read).  Emits coarse mappings: POS is
+    the winning diagonal (locus estimate within the drift band), CIGAR is
+    reported all-M with the summed per-segment banded distance as NM and an
+    ``XT:A:L`` tag marking the record as a chunked long-read mapping (fine
+    CIGAR stitching is roadmapped)."""
+    import json
+
+    from .models.long_read import LongReadAligner
+    from .utils import sam
+    from .utils.fasta import iter_reads
+
+    if "seed_table" not in kmer_kwargs:
+        sys.stderr.write("align --mode long requires --seed-table\n")
+        return 2
+    al = LongReadAligner(
+        gi, kmer_kwargs["seed_table"], kmer_kwargs["seed_j"]
+    )
+    reads = list(iter_reads(cfg.reads))
+    sw.lap(f"loaded {len(reads)} long reads")
+    t0 = time.time()
+    records = []
+    n_mapped = 0
+    bs = max(8, cfg.batch_size)
+    for i in range(0, len(reads), bs):
+        batch = reads[i : i + bs]
+        L = max(len(r) for r in batch)
+        arr = np.zeros((len(batch), L), dtype=np.int8)
+        lens = np.empty(len(batch), dtype=np.int32)
+        for t, r in enumerate(batch):
+            arr[t, : len(r)] = r.codes
+            lens[t] = len(r)
+        lh = al.align_arrays(arr, lens)
+        for t, r in enumerate(batch):
+            if not lh.mapped[t]:
+                records.append(sam.unmapped(r.name, r.codes, r.qual))
+                continue
+            n_mapped += 1
+            ci, local = gi.genome.coord(int(lh.pos[t]))
+            rec = sam.mapped(
+                r.name,
+                r.codes,
+                gi.genome.names[int(ci[0])],
+                int(local[0]),
+                int(lh.strand[t]),
+                f"{len(r)}M",
+                edit_distance=int(lh.dist[t]),
+                mapq=37,
+                qual=r.qual,
+            )
+            rec.tags = rec.tags + (("XT", "A", "L"),)
+            records.append(rec)
+    dt = time.time() - t0
+    sw.lap(f"long-read mapped {n_mapped}/{len(reads)}, {len(reads)/max(dt,1e-9):.0f} reads/s")
+    hdr = sam.header(gi.genome.names, gi.genome.lengths)
+    if cfg.out == "-":
+        sys.stdout.write(hdr + "\n")
+        for r in records:
+            sys.stdout.write(r.line() + "\n")
+    else:
+        sam.write_sam(cfg.out, hdr, records)
+        sw.lap(f"wrote {cfg.out}")
+    if args.report:
+        with open(args.report, "w") as fh:
+            fh.write(json.dumps({
+                "reads": len(reads), "mapped": n_mapped,
+                "reads_per_s": round(len(reads) / max(dt, 1e-9), 1),
+                "wall_s": round(dt, 3), "mode": "long", "k": None,
+                "batch_size": bs,
+            }, indent=1))
         sw.lap(f"report -> {args.report}")
     return 0
 
@@ -399,7 +476,7 @@ def main(argv=None) -> int:
     pa.add_argument("-k", type=int, default=acfg.k, help="max edit distance")
     pa.add_argument(
         "--mode",
-        choices=["auto", "exact", "onemm", "pigeonhole", "staircase"],
+        choices=["auto", "exact", "onemm", "pigeonhole", "staircase", "long"],
         default=acfg.mode,
     )
     pa.add_argument("--batch-size", type=int, default=acfg.batch_size)

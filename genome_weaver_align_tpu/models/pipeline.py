@@ -417,8 +417,22 @@ class SuffixFilterAligner:
             verify_rc = revcomp_verify_batch(verify_fwd, lengths)
             search_rc = np.where(verify_rc >= 4, 0, verify_rc).astype(np.int32)
 
-            pf, df, nf, of = self._strand_pass(search_fwd, verify_fwd, lengths)
-            pr, dr, nr, orv = self._strand_pass(search_rc, verify_rc, lengths)
+            if self.use_staircase:
+                # ONE stacked pass for both strands: the staircase cost is
+                # dominated by its ~2L sequential FM extension steps, which
+                # are depth-bound at fallback-cohort widths — stacking fwd+rc
+                # as 2B lanes halves the pass count for the same wall depth
+                B0 = len(lengths)
+                p2, d2, n2, o2 = self._strand_pass(
+                    np.concatenate([search_fwd, search_rc]),
+                    np.concatenate([verify_fwd, verify_rc]),
+                    np.concatenate([lengths, lengths]),
+                )
+                pf, df, nf, of = p2[:B0], d2[:B0], n2[:B0], o2[:B0]
+                pr, dr, nr, orv = p2[B0:], d2[B0:], n2[B0:], o2[B0:]
+            else:
+                pf, df, nf, of = self._strand_pass(search_fwd, verify_fwd, lengths)
+                pr, dr, nr, orv = self._strand_pass(search_rc, verify_rc, lengths)
 
             # deterministic best across strands: (dist, pos, strand) order
             df = np.where(df <= self.k, df, 1 << 20)
@@ -586,8 +600,20 @@ class SuffixFilterAligner:
         The fallback searches a strict superset (bigger budgets, no shared
         verify pool), so its result replaces the primary's wholesale.  The
         subset is padded to a power-of-two bucket so recompiles are bounded.
+
+        Cohort policy (VERDICT r3 weak-#4): only UNMAPPED overflowed reads
+        rerun.  A read that mapped despite budget truncation keeps its hit
+        with the XO multiplicity-floor flag — rerunning all ~8k flooded
+        reads of a repeat batch cost 522 ms to improve-only ~4.8k
+        already-mapped repeat reads whose best hit is another <=k copy of
+        the same family either way; restricting to the unmapped cohort
+        keeps the mapped fraction identical at under half the tier-1 cost
+        (mapped/correct deltas measured on the repeat bench — see
+        ROADMAP.md round-4 notes).
         """
-        idx = np.nonzero(ah.overflow)[0]
+        idx = np.nonzero(ah.overflow & ~ah.mapped)[0]
+        if idx.size == 0:
+            return ah
         fb = self._get_fb()
         # device downloads arrive read-only; copy the fields being patched
         writable = lambda a: a if a.flags.writeable else a.copy()

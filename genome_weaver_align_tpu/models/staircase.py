@@ -85,92 +85,99 @@ def staircase_filter_candidates(
     B, L = reads.shape
     Lb = L if max_len is None else max_len
     P = k + 1
-    # static trip counts, tight per stage: a piece is at most ceil(L/P)
-    # chars (spine), and the forward extension from piece i runs at most
-    # lengths - e_i <= ceil(L * (P-1-i) / P) chars — 3x fewer sequential
-    # rank steps than the former flat L bound per loop
+    # Lane-folded pieces: the P per-piece searches run as a leading lane
+    # axis, not sequential Python loops.  The staircase is DEPTH-bound at
+    # fallback-cohort widths (every extension step is a latency-priced
+    # occ_all4 round), so folding P spine loops into one and the P forward
+    # loops into one cuts the sequential step count from
+    # sum_i(spine + fwd_i) ~= (2P-1)/P * L  to  spine + max_i fwd_i
+    # ~= L  — a ~2x wall-time cut for k=2 on top of the caller's
+    # fwd+rc strand stacking (VERDICT r3 weak-#4).
     spine_steps = -(-Lb // P)
+    fwd_steps = -(-(Lb * (P - 1)) // P)  # piece 0's bound covers all lanes
     bounds = _piece_bounds(lengths, P)  # (B, P+1)
     n = bi.fwd.n
 
-    def char_at(j):
-        return jnp.take_along_axis(reads, jnp.clip(j, 0)[:, None], axis=1)[:, 0]
+    s_pb = bounds[:, :-1].T  # (P, B) piece starts
+    e_pb = bounds[:, 1:].T  # (P, B) piece ends
+    lane_piece = jnp.arange(P, dtype=jnp.int32)[:, None]  # (P, 1)
 
-    def piece_of(j):  # (B,) index of piece containing j
+    def char_at(j):  # j (P, B) -> codes (P, B)
+        jt = jnp.clip(j, 0).T
+        return jnp.take_along_axis(reads, jt, axis=1).T
+
+    # ---- spines: every piece built backward simultaneously
+    def spine_body(t, st):
+        j = e_pb - 1 - t
+        active = j >= s_pb
+        ext = bd.extend_backward(bi, st, char_at(j))
+        return BiInterval(*[jnp.where(active, a, b) for a, b in zip(ext, st)])
+
+    spine = jax.lax.fori_loop(
+        0, spine_steps, spine_body, bd.init_interval(n, (P, B))
+    )
+
+    # ---- pool init: slot 0 = spine, mm 0
+    slot0 = jnp.arange(n_slots, dtype=jnp.int32)[None, None, :] == 0
+    iv = BiInterval(*[jnp.where(slot0, f[:, :, None], 0) for f in spine])
+    mm = jnp.zeros((P, B, n_slots), jnp.int32)
+    overflow_pb = jnp.zeros((P, B), bool)
+
+    def compact(iv4, mm4, slots):
+        flat_iv = BiInterval(*[f.reshape(P * B, -1) for f in iv4])
+        p_iv, p_mm, live = _compact_pool(flat_iv, mm4.reshape(P * B, -1), slots)
         return (
-            jnp.sum((bounds <= j[:, None]).astype(jnp.int32), axis=1) - 1
+            BiInterval(*[f.reshape(P, B, slots) for f in p_iv]),
+            p_mm.reshape(P, B, slots),
+            live.reshape(P, B),
         )
 
-    all_pos = []
-    overflow = jnp.zeros(B, bool)
-
-    for i in range(P):
-        s_i, e_i = bounds[:, i], bounds[:, i + 1]
-
-        # spine: piece i built backward (bidirectional state)
-        def spine_body(t, st):
-            j = e_i - 1 - t
-            active = j >= s_i
-            ext = bd.extend_backward(bi, st, char_at(j))
-            return BiInterval(*[jnp.where(active, a, b) for a, b in zip(ext, st)])
-
-        spine = jax.lax.fori_loop(0, spine_steps, spine_body, bd.init_interval(n, (B,)))
-
-        # pool init: slot 0 = spine, mm 0
-        slot0 = jnp.arange(n_slots, dtype=jnp.int32)[None, :] == 0
-        iv = BiInterval(
-            *[jnp.where(slot0, f[:, None], 0) for f in spine]
+    def fwd_body(t, carry):
+        iv, mm, ovf = carry
+        j = e_pb + t  # (P, B)
+        active = j < lengths[None, :]
+        c = char_at(j)
+        jcap = jnp.minimum(j, lengths[None, :] - 1)
+        piece_of_j = (
+            jnp.sum((bounds[None, :, :] <= jcap[:, :, None]).astype(jnp.int32), axis=2)
+            - 1
+        )  # (P, B)
+        budget = piece_of_j - lane_piece
+        all4 = bd.extend_forward_all4(bi, iv)  # fields (P, B, S, 4)
+        codes = jnp.arange(4, dtype=jnp.int32)[None, None, None, :]
+        child_mm = mm[..., None] + (codes != c[..., None, None]).astype(jnp.int32)
+        ok = child_mm <= budget[..., None, None]
+        pool_iv = BiInterval(
+            jnp.where(ok, all4.lo, 0),
+            jnp.where(ok, all4.hi, 0),
+            all4.rlo,
+            all4.rhi,
         )
-        mm = jnp.zeros((B, n_slots), jnp.int32)
-
-        def fwd_body(t, carry):
-            iv, mm, ovf = carry
-            j = e_i + t  # (B,)
-            active = j < lengths
-            c = char_at(j)
-            budget = piece_of(jnp.minimum(j, lengths - 1)) - i  # (B,)
-            all4 = bd.extend_forward_all4(bi, iv)  # fields (B, S, 4)
-            codes = jnp.arange(4, dtype=jnp.int32)[None, None, :]
-            child_mm = mm[:, :, None] + (codes != c[:, None, None]).astype(jnp.int32)
-            ok = child_mm <= budget[:, None, None]
-            child_lo = jnp.where(ok, all4.lo, 0)
-            child_hi = jnp.where(ok, all4.hi, 0)
-            pool_iv = BiInterval(
-                child_lo.reshape(B, -1),
-                child_hi.reshape(B, -1),
-                all4.rlo.reshape(B, -1),
-                all4.rhi.reshape(B, -1),
-            )
-            pool_mm = child_mm.reshape(B, -1)
-            new_iv, new_mm, live = _compact_pool(pool_iv, pool_mm, n_slots)
-            ovf = ovf | (active & (live > n_slots))
-            out_iv = BiInterval(
-                *[jnp.where(active[:, None], a, b) for a, b in zip(new_iv, iv)]
-            )
-            out_mm = jnp.where(active[:, None], new_mm, mm)
-            return out_iv, out_mm, ovf
-
-        fwd_steps = -(-Lb * (P - 1 - i) // P) if i < P - 1 else 0
-        iv, mm, overflow = jax.lax.fori_loop(
-            0, fwd_steps, fwd_body, (iv, mm, overflow)
+        new_iv, new_mm, live = compact(pool_iv, child_mm, n_slots)
+        ovf = ovf | (active & (live > n_slots))
+        out_iv = BiInterval(
+            *[jnp.where(active[..., None], a, b) for a, b in zip(new_iv, iv)]
         )
+        out_mm = jnp.where(active[..., None], new_mm, mm)
+        return out_iv, out_mm, ovf
 
-        # final states: compact to the keep-window before the (costly) locate
-        iv, mm, live_final = _compact_pool(iv, mm, keep)
-        overflow = overflow | (live_final > keep)
+    iv, mm, overflow_pb = jax.lax.fori_loop(
+        0, fwd_steps, fwd_body, (iv, mm, overflow_pb)
+    )
 
-        # -> candidate loci (read start = occ - s_i)
-        rows = iv.lo[:, :, None] + jnp.arange(hits_per_state, dtype=jnp.int32)[None, None, :]
-        valid = rows < iv.hi[:, :, None]
-        pos = rank.locate(bi.fwd, jnp.clip(rows, 0, n).reshape(-1)).reshape(rows.shape)
-        cand = jnp.where(valid, pos - s_i[:, None, None], NO_CAND)
-        # flag dropped occurrences of wide final intervals
-        overflow = overflow | jnp.any(
-            (iv.hi - iv.lo) > hits_per_state, axis=1
-        )
-        all_pos.append(cand.reshape(B, -1))
+    # final states: compact to the keep-window before the (costly) locate
+    iv, mm, live_final = compact(iv, mm, keep)
+    overflow_pb = overflow_pb | (live_final > keep)
 
-    cand = jnp.concatenate(all_pos, axis=1)
+    # -> candidate loci (read start = occ - s_i), ONE locate for all pieces
+    rows = iv.lo[..., None] + jnp.arange(hits_per_state, dtype=jnp.int32)
+    valid = rows < iv.hi[..., None]
+    pos = rank.locate(bi.fwd, jnp.clip(rows, 0, n).reshape(-1)).reshape(rows.shape)
+    cand = jnp.where(valid, pos - s_pb[..., None, None], NO_CAND)  # (P,B,keep,H)
+    overflow_pb = overflow_pb | jnp.any((iv.hi - iv.lo) > hits_per_state, axis=2)
+    overflow = jnp.any(overflow_pb, axis=0)
+
+    cand = cand.transpose(1, 0, 2, 3).reshape(B, P * keep * hits_per_state)
     cand = jnp.sort(cand, axis=1)
     dup = jnp.concatenate([jnp.zeros((B, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1)
     cand = jnp.sort(jnp.where(dup, NO_CAND, cand), axis=1)

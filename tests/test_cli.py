@@ -141,3 +141,35 @@ def test_cli_interleaved(tmp_path):
     body = [l for l in out.read_text().splitlines() if not l.startswith("@")]
     assert len(body) == 20
     assert all(int(l.split("\t")[1]) & 0x1 for l in body)
+
+
+def test_cli_long_read_mode(tmp_path):
+    """--mode long: 1 kb reads map via chunked seeding; XT:A:L marks them."""
+    rng = np.random.default_rng(8)
+    codes = rng.integers(0, 4, size=300_000, dtype=np.uint8)
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [Contig("chrL", codes)])
+    idx = tmp_path / "g.npz"
+    assert main(["index", str(fa), "-o", str(idx), "--seed", "13"]) == 0
+
+    # 1 kb reads with a few substitutions, written as FASTQ
+    n, L = 6, 1024
+    pos = rng.integers(0, codes.size - L, size=n)
+    with open(tmp_path / "r.fq", "w") as fh:
+        for i in range(n):
+            seq = codes[pos[i] : pos[i] + L].copy()
+            at = rng.integers(0, L, size=5)
+            seq[at] = (seq[at] + rng.integers(1, 4, size=5)) % 4
+            fh.write(f"@lr{i}\n{dna.decode(seq)}\n+\n{'I'*L}\n")
+
+    out = tmp_path / "out.sam"
+    assert main([
+        "align", str(idx), str(tmp_path / "r.fq"), "--mode", "long",
+        "--seed-table", str(idx) + ".seed13.npz", "-o", str(out),
+    ]) == 0
+    body = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    assert len(body) == n
+    for i, line in enumerate(body):
+        f = line.split("\t")
+        assert f[1] in ("0", "16") and "XT:A:L" in line
+        assert abs(int(f[3]) - 1 - pos[i]) <= 24, (i, f[3], pos[i])
