@@ -250,11 +250,9 @@ def _cmd_align(args) -> int:
 
 def _align_long_reads(args, cfg, gi, kmer_kwargs, sw) -> int:
     """``--mode long``: chunked seeding + diagonal voting for reads past the
-    short-read machines (models.long_read).  Emits coarse mappings: POS is
-    the winning diagonal (locus estimate within the drift band), CIGAR is
-    reported all-M with the summed per-segment banded distance as NM and an
-    ``XT:A:L`` tag marking the record as a chunked long-read mapping (fine
-    CIGAR stitching is roadmapped)."""
+    short-read machines (models.long_read), then one whole-read banded
+    affine traceback per mapped read for exact POS/CIGAR/AS/NM.  Records
+    carry an ``XT:A:L`` tag marking the chunked long-read path."""
     import json
 
     from .models.long_read import LongReadAligner
@@ -288,16 +286,18 @@ def _align_long_reads(args, cfg, gi, kmer_kwargs, sw) -> int:
                 continue
             n_mapped += 1
             ci, local = gi.genome.coord(int(lh.pos[t]))
+            score, nm = lh.aux.get(t, (None, int(lh.dist[t])))
             rec = sam.mapped(
                 r.name,
                 r.codes,
                 gi.genome.names[int(ci[0])],
                 int(local[0]),
                 int(lh.strand[t]),
-                f"{len(r)}M",
-                edit_distance=int(lh.dist[t]),
+                lh.cigars.get(t, f"{len(r)}M"),
+                edit_distance=nm,
                 mapq=37,
                 qual=r.qual,
+                score=score,
             )
             rec.tags = rec.tags + (("XT", "A", "L"),)
             records.append(rec)

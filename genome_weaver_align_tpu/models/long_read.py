@@ -49,10 +49,14 @@ from .suffix_filter import NO_CAND, _all_jmers
 
 class LongHits(NamedTuple):
     mapped: np.ndarray  # (B,) bool
-    pos: np.ndarray  # (B,) int64 genome start estimate (winning diagonal)
+    pos: np.ndarray  # (B,) int64 genome start (exact post-traceback, or the
+    # winning diagonal when traceback=False)
     strand: np.ndarray  # (B,)
-    dist: np.ndarray  # (B,) summed per-segment banded distance
+    dist: np.ndarray  # (B,) NM of the traceback alignment (or the summed
+    # per-segment banded distance when traceback=False)
     support: np.ndarray  # (B,) segments voting for the winning diagonal
+    cigars: dict  # read idx -> CIGAR (traceback=True only)
+    aux: dict  # read idx -> (AS, NM) from the affine traceback
 
 
 @partial(
@@ -189,7 +193,13 @@ class LongReadAligner:
         self.min_support = min_support
         self.max_edit_frac = max_edit_frac
 
-    def align_arrays(self, verify_fwd: np.ndarray, lengths: np.ndarray) -> LongHits:
+    def align_arrays(
+        self, verify_fwd: np.ndarray, lengths: np.ndarray, traceback: bool = True
+    ) -> LongHits:
+        """Map the batch; with ``traceback`` (default) every mapped read also
+        gets an exact CIGAR/POS/AS/NM from one banded affine traceback over
+        the whole read (native C++ engine; band sized to absorb the full
+        vote-window drift)."""
         from .pipeline import revcomp_verify_batch
 
         lengths = np.asarray(lengths, dtype=np.int32)
@@ -227,10 +237,48 @@ class LongReadAligner:
         dist = np.where(take_r, dr, df).astype(np.int64)
         support = np.where(take_r, sr_, sf_).astype(np.int64)
         strand = take_r.astype(np.int64)
+        pos = np.where(mapped, pos, 0)
+
+        cigars: dict[int, str] = {}
+        aux: dict[int, tuple[int, int]] = {}
+        if traceback and mapped.any():
+            from ..ops import affine
+
+            idx = np.nonzero(mapped)[0]
+            S = idx.size
+            # band half-width: the diagonal estimate is the cluster MINIMUM,
+            # so the true start sits up to `band` to its right (plus kb of
+            # sub-segment slack) — the affine band must cover that range
+            kb2 = self.kb + (self.band + 1) // 2
+            lmax = int(lengths[idx].max())
+            Wb = lmax + 3 * kb2
+            vcodes = np.zeros((S, lmax), dtype=np.int64)
+            wins = np.full((S, Wb), 4, dtype=np.int64)
+            lens_s = lengths[idx].astype(np.int64)
+            ws_all = pos[idx] - kb2
+            for t, i in enumerate(idx):
+                l = int(lengths[i])
+                src = vrc_np if strand[i] else verify_fwd
+                vcodes[t, :l] = src[i, :l]
+                ws = int(ws_all[t])
+                s0 = max(0, ws)
+                seg = self.gi.fwd.extract(s0, min(self.fm.n, ws + Wb) - s0)
+                wins[t, s0 - ws : s0 - ws + seg.size] = seg
+            sc, start, cig, nm = affine.affine_banded_batch(
+                vcodes, lens_s, wins, kb2
+            )
+            pos[idx] = np.maximum(ws_all + start, 0)
+            dist[idx] = nm
+            for t, i in enumerate(idx.tolist()):
+                cigars[i] = cig[t]
+                aux[i] = (int(sc[t]), int(nm[t]))
+
         return LongHits(
             mapped=mapped,
-            pos=np.where(mapped, pos, 0),
+            pos=pos,
             strand=strand,
             dist=dist,
             support=support,
+            cigars=cigars,
+            aux=aux,
         )

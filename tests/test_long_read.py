@@ -56,10 +56,15 @@ def test_long_reads_map_to_locus(setup):
     lh = al.align_arrays(reads.astype(np.int8), np.full(n, L, np.int32))
     assert lh.mapped.all(), f"unmapped: {np.nonzero(~lh.mapped)[0]}"
     assert (lh.strand == strand).all()
-    # winning diagonal estimates the read start within the drift band
-    assert (np.abs(lh.pos - pos) <= 24).all(), np.abs(lh.pos - pos).max()
+    # post-traceback POS is exact (edits planted away from the read ends)
+    assert (np.abs(lh.pos - pos) <= 2).all(), np.abs(lh.pos - pos).max()
     # support: most of the 8 segments voted for the locus
     assert (lh.support >= 4).all()
+    # indel reads carry real I/D CIGARs from the affine traceback
+    assert any(
+        ("I" in c or "D" in c) for c in lh.cigars.values()
+    ), lh.cigars
+    assert all(i in lh.aux for i in lh.cigars)
 
 
 def test_long_reads_clean_exact(setup):
@@ -71,6 +76,20 @@ def test_long_reads_clean_exact(setup):
     assert lh.mapped.all()
     assert (lh.pos == pos).all()
     assert (lh.dist == 0).all()
+    assert all(c == f"{L}M" for c in lh.cigars.values())
+
+
+def test_long_reads_no_traceback_diagonal(setup):
+    codes, al = setup
+    rng = np.random.default_rng(11)
+    n, L = 8, 1024
+    reads, pos, strand = _make_long_reads(codes, n, L, rng)
+    lh = al.align_arrays(
+        reads.astype(np.int8), np.full(n, L, np.int32), traceback=False
+    )
+    assert lh.mapped.all()
+    assert not lh.cigars
+    assert (np.abs(lh.pos - pos) <= 24).all()
 
 
 def test_long_reads_ragged_and_junk(setup):
