@@ -611,9 +611,12 @@ class SuffixFilterAligner:
         (mapped/correct deltas measured on the repeat bench — see
         ROADMAP.md round-4 notes).
         """
+        import time as _time
+
         idx = np.nonzero(ah.overflow & ~ah.mapped)[0]
         if idx.size == 0:
             return ah
+        _t0 = _time.perf_counter()
         fb = self._get_fb()
         # device downloads arrive read-only; copy the fields being patched
         writable = lambda a: a if a.flags.writeable else a.copy()
@@ -644,6 +647,10 @@ class SuffixFilterAligner:
             else:
                 ah.aux.pop(i, None)
         self.last_stats["n_overflow_fallback"] = int(n)
+        self.last_stats["t_tier1_ms"] = round(
+            (_time.perf_counter() - _t0) * 1e3, 1
+        )
+        _t0 = _time.perf_counter()
 
         # tier 2: reads STILL overflowed after FB_MULT-x budgets AND unmapped go
         # through the staircase narrowing search (see _get_fb2).  Mapped-but-
@@ -686,6 +693,9 @@ class SuffixFilterAligner:
                     ah.aux[i] = fh2.aux[t]
                 else:
                     ah.aux.pop(i, None)
+        self.last_stats["t_tier2_ms"] = round(
+            (_time.perf_counter() - _t0) * 1e3, 1
+        )
         return ah
 
     def to_sam_lines(

@@ -86,14 +86,23 @@ def banded_edit_distance(
 
 
 def banded_edit_distance_best(
-    reads: jax.Array, lengths: jax.Array, windows: jax.Array, k: int
+    reads: jax.Array, lengths: jax.Array, windows: jax.Array, k: int,
+    *, engine: str | None = None,
 ):
     """Backend-dispatched banded verify: Pallas wavefront kernel on TPU,
     jnp wavefront on CPU (bit-identical dist; end_b may differ on dead
     lanes, where both are garbage).  The Pallas kernel is ~3-7x faster
     in-graph on v5e (measured round 2); interpret-mode on CPU would be
-    slower than the jnp engine, hence the trace-time switch."""
-    if jax.default_backend() != "cpu":
+    slower than the jnp engine, hence the trace-time switch.
+
+    ``engine`` overrides the global-backend dispatch ("pallas" | "jnp"):
+    callers compiling for explicit device lists (e.g. the multichip dryrun's
+    virtual CPU mesh in a process whose DEFAULT backend is the axon TPU)
+    must pass the engine matching their mesh's platform, because
+    ``jax.default_backend()`` cannot see lowering-target devices."""
+    if engine is None:
+        engine = "jnp" if jax.default_backend() == "cpu" else "pallas"
+    if engine == "pallas":
         from . import dp_pallas
 
         Q = reads.shape[0]

@@ -155,6 +155,202 @@ def _ring_psum_2d(x, *, axis: str, n: int, interpret, collective_id: int):
     )(x)
 
 
+_PAIR = jnp.uint32(0x55555555)
+_FULL = jnp.uint32(0xFFFFFFFF)
+
+
+def _fused_rank_ring_kernel(
+    words_ref, codes_ref, roff_ref, base_ref, own_ref, o_ref,
+    comm, send_sem, recv_sem, cap_sem, *, axis, n, M,
+):
+    """M-payload fused rank+ring (DESIGN.md §3's missing kernel).
+
+    Payload m's RANK COMPUTE (the occ popcount over its gathered fused-row
+    words — pure VPU) runs while payloads < m already have ring hops in
+    flight on the ICI, and the (n-1)-hop rounds interleave all M payloads
+    so one payload's wire latency is hidden behind the others' accumulates
+    and transfers.  This is the in-kernel comm/compute overlap that M
+    token-sequenced ``ring_psum`` calls cannot express (each pallas_call
+    blocks the TensorCore until its own hops drain).
+
+    Per-payload protocol (buffers, send/recv semaphores, capacity grant) is
+    exactly ``_ring_kernel``'s, replicated M times; the barrier is shared.
+    """
+    my = lax.axis_index(axis)
+    right = lax.rem(my + 1, n)
+    left = lax.rem(my + n - 1, n)
+    # NB: built inside the kernel — module-level jnp scalars would be
+    # captured constants, which pallas_call rejects
+    pair = jnp.uint32(0x55555555)
+    full = jnp.uint32(0xFFFFFFFF)
+
+    def partial_of(m):
+        w = words_ref[m]  # (8, R) uint32
+        code = codes_ref[m].astype(jnp.uint32)  # (1, R)
+        roff = roff_ref[m]  # (1, R) int32
+        x = w ^ (code * pair)
+        j16 = 16 * lax.broadcasted_iota(jnp.int32, w.shape, 0)
+        allowed = jnp.clip(roff - j16, 0, 16).astype(jnp.uint32)
+        shift = 2 * allowed
+        safe = jnp.clip(32 - shift, 0, 31).astype(jnp.uint32)
+        mask = jnp.where(shift == 0, jnp.uint32(0), full >> safe)
+        mm = ~(x | (x >> jnp.uint32(1))) & pair & mask
+        cnt = jnp.sum(
+            lax.population_count(mm).astype(jnp.int32), axis=0, keepdims=True
+        )
+        return own_ref[m] * (base_ref[m] + cnt)  # (1, R) int32
+
+    if n == 1:
+        for m in range(M):
+            o_ref[m] = partial_of(m)
+        return
+
+    barrier = pltpu.get_barrier_semaphore()
+    for nb in (left, right):
+        pltpu.semaphore_signal(
+            barrier, inc=1, device_id={axis: nb},
+            device_id_type=pltpu.DeviceIdType.MESH,
+        )
+    pltpu.semaphore_wait(barrier, 2)
+
+    def hop(m, s):
+        return pltpu.make_async_remote_copy(
+            src_ref=comm.at[m, s % 2],
+            dst_ref=comm.at[m, (s + 1) % 2],
+            send_sem=send_sem.at[m, s % 2],
+            recv_sem=recv_sem.at[m, (s + 1) % 2],
+            device_id={axis: right},
+            device_id_type=pltpu.DeviceIdType.MESH,
+        )
+
+    # Phase A: compute partial m (VPU) and put its hop 0 on the wire —
+    # payload m+1's rank compute overlaps payloads <= m's transfers.
+    live = [None] * M
+    for m in range(M):
+        p = partial_of(m)
+        o_ref[m] = p
+        comm[m, 0] = p
+        pltpu.semaphore_signal(
+            cap_sem.at[m], inc=1, device_id={axis: left},
+            device_id_type=pltpu.DeviceIdType.MESH,
+        )
+        pltpu.semaphore_wait(cap_sem.at[m], 1)
+        live[m] = hop(m, 0)
+        live[m].start()
+
+    # Phase B: rounds interleave payloads — while payload m's recv is
+    # waited on, the other payloads' transfers keep the ICI busy.
+    for s in range(n - 1):
+        recv_slot = (s + 1) % 2
+        for m in range(M):
+            live[m].wait_recv()
+            live[m].wait_send()
+            if s < n - 2:
+                pltpu.semaphore_signal(
+                    cap_sem.at[m], inc=1, device_id={axis: left},
+                    device_id_type=pltpu.DeviceIdType.MESH,
+                )
+                pltpu.semaphore_wait(cap_sem.at[m], 1)
+                live[m] = hop(m, s + 1)
+                live[m].start()
+            o_ref[m] += comm[m, recv_slot]
+
+
+@partial(
+    jax.jit, static_argnames=("axis", "n", "M", "interpret", "collective_id")
+)
+def _fused_rank_ring_call(
+    words_t, codes, roff, base, own, *, axis, n, M, interpret, collective_id
+):
+    R = words_t.shape[-1]
+    kernel = partial(_fused_rank_ring_kernel, axis=axis, n=n, M=M)
+    vma = getattr(jax.typeof(codes), "vma", None)
+    out_shape = (
+        jax.ShapeDtypeStruct((M, 1, R), jnp.int32, vma=vma)
+        if vma is not None
+        else jax.ShapeDtypeStruct((M, 1, R), jnp.int32)
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((M, 2, 1, R), jnp.int32),
+            pltpu.SemaphoreType.DMA((M, 2)),
+            pltpu.SemaphoreType.DMA((M, 2)),
+            pltpu.SemaphoreType.REGULAR((M,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            collective_id=collective_id if n > 1 else None,
+        ),
+        interpret=interpret,
+    )(words_t, codes, roff, base, own)
+
+
+def fused_rank_ring(
+    words_t: jax.Array,
+    codes: jax.Array,
+    roff: jax.Array,
+    base: jax.Array,
+    own: jax.Array,
+    axis: str,
+    *,
+    interpret=False,
+    collective_id: int = 9,
+    token: jax.Array | None = None,
+):
+    """Fused occ-rank compute + M-payload pipelined ring all-reduce.
+
+    Inputs (M = payload/chunk count, Q = queries per payload):
+      words_t (M, 8, Q) uint32 — gathered fused-row BWT words, transposed
+      codes   (M, Q) int32     — query base codes
+      roff    (M, Q) int32     — in-block base offsets [0, 128]
+      base    (M, Q) int32     — owner checkpoint values (occ_cp[b][code])
+      own     (M, Q) int32     — 1 where this shard owns the query else 0
+
+    Returns (M, Q) int32: for every payload, psum over ``axis`` of
+    ``own * (base + match_count(words, code, roff))`` — i.e. the merged
+    global occ values, bit-identical to
+    ``psum(local_occ_codes(...))`` (tests/test_ring.py).
+
+    The irregular HBM row gather stays OUTSIDE (XLA's gather engine beats
+    per-row kernel DMAs by an order of magnitude for 48-byte rows); the
+    kernel fuses everything after it: popcount rank partials + the merge,
+    with payload m's compute overlapping payloads < m's ICI hops.  Same
+    token-sequencing contract as ``ring_psum``.
+    """
+    seq = token is not None
+    if seq:
+        (words_t, codes, roff, base, own), _ = lax.optimization_barrier(
+            ((words_t, codes, roff, base, own), token)
+        )
+    if interpret is True:
+        interpret = pltpu.InterpretParams()
+    n = lax.axis_size(axis)
+    M, _, Q = words_t.shape
+    pad = (-Q) % _LANES
+    if pad:
+        words_t = jnp.pad(words_t, ((0, 0), (0, 0), (0, pad)))
+        codes, roff, base, own = (
+            jnp.pad(a, ((0, 0), (0, pad))) for a in (codes, roff, base, own)
+        )
+    R = Q + pad
+    out = _fused_rank_ring_call(
+        words_t.astype(jnp.uint32),
+        codes[:, None, :].astype(jnp.int32),
+        roff[:, None, :].astype(jnp.int32),
+        base[:, None, :].astype(jnp.int32),
+        own[:, None, :].astype(jnp.int32),
+        axis=axis, n=n, M=M, interpret=interpret, collective_id=collective_id,
+    )
+    res = out[:, 0, :Q]
+    if seq:
+        return res, lax.optimization_barrier(res.reshape(-1)[0])
+    return res
+
+
 def ring_psum(
     x: jax.Array,
     axis: str,

@@ -151,6 +151,33 @@ def local_occ_codes(sh: ShardedFMIndex, codes, k):
     return jnp.where(own, val, 0)
 
 
+def local_occ_gather(sh: ShardedFMIndex, codes, k):
+    """Gather half of ``local_occ_codes`` for the fused rank+ring kernel
+    (``parallel.ring.fused_rank_ring``): performs the irregular HBM row
+    gather + owner masking with XLA's gather engine and returns the raw
+    pieces; the popcount rank compute AND the interval merge happen fused
+    inside the kernel, overlapped across payload chunks.
+
+    Returns (words_t (8, Q) uint32, roff (Q,) int32, base (Q,) int32,
+    own (Q,) int32) such that
+    ``psum(own * (base + match_count(words, codes, roff)))`` equals
+    ``psum(local_occ_codes(sh, codes, k))`` bit-exactly."""
+    k_adj = (k - (k > sh.primary)).astype(jnp.int32)
+    own = ((k_adj >= sh.pk_start) & (k_adj < sh.pk_end)).astype(jnp.int32)
+    kk = jnp.clip(k_adj, sh.pk_start, None)
+    b_local = jnp.clip(
+        (kk - sh.pk_start) // BLOCK_BASES, 0, sh.bwt_blocks.shape[0] - 1
+    )
+    # roff may exceed 128 for non-owned clamped queries: the kernel's mask
+    # clip saturates at the full block and ``own`` zeroes the result
+    roff = kk - sh.pk_start - b_local * BLOCK_BASES
+    words = sh.bwt_blocks[b_local]  # (Q, 8) — ONE gather
+    base = jnp.take_along_axis(
+        sh.occ_cp[b_local], codes[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    return words.T, roff, base, own
+
+
 def local_occ_all4(sh: ShardedFMIndex, k):
     k_adj = (k - (k > sh.primary)).astype(jnp.int32)
     own = (k_adj >= sh.pk_start) & (k_adj < sh.pk_end)
@@ -322,14 +349,20 @@ def make_sharded_exact_search(
 
     ``merge`` picks the interval-merge collective for the extension steps
     (the hot ~L-step collective): "psum" (XLA all-reduce, async-scheduled by
-    the latency-hiding scheduler) or "ring" (the explicit double-buffered
+    the latency-hiding scheduler), "ring" (the explicit double-buffered
     RDMA ring in ``parallel.ring`` — SURVEY.md §5.8's overlap primitive,
-    which pipelines consecutive ring hops inside the kernel;
+    which pipelines consecutive ring hops inside the kernel), or "fused"
+    (``parallel.ring.fused_rank_ring`` — ONE kernel per step that computes
+    every microbatch chunk's occ popcount partials on the VPU while the
+    other chunks' ring hops are in flight on the ICI: the in-kernel
+    rank+merge overlap that per-chunk ring calls cannot express, because a
+    pallas_call blocks the TensorCore until its own hops drain).
     ``ring_interpret=True`` simulates the RDMA machinery on the virtual CPU
-    mesh where Mosaic cannot compile).  Ring merges are strictly sequenced
-    via a loop-carried token — a TensorCore runs one kernel at a time, and
-    cross-device kernel skew would land one merge's remote signals in
-    another's semaphore allocation.  ``locate``'s tail merges stay psum.
+    mesh where Mosaic cannot compile.  Ring/fused merges are strictly
+    sequenced via a loop-carried token — a TensorCore runs one kernel at a
+    time, and cross-device kernel skew would land one merge's remote
+    signals in another's semaphore allocation.  ``locate``'s tail merges
+    stay psum.
 
     ``microbatch`` > 1 splits the local read batch into that many interleaved
     chunks per extension step: chunk m+1's local rank gathers carry no data
@@ -341,7 +374,8 @@ def make_sharded_exact_search(
     from jax.sharding import PartitionSpec as P
 
     use_ring = merge == "ring"
-    if use_ring:
+    use_fused = merge == "fused"
+    if use_ring or use_fused:
         from . import ring
 
     def local_fn(sh, reads, lengths):
@@ -353,7 +387,47 @@ def make_sharded_exact_search(
         def chunk(a, m):
             return a[m * Bc : (m + 1) * Bc]
 
+        def body_fused(t, state):
+            # gather every chunk's fused rows with XLA, then ONE kernel
+            # computes all popcount partials + all ring merges, overlapped
+            chunks, token = state
+            gathered, css, actives = [], [], []
+            for m in range(mb):
+                lo, hi = chunks[m]
+                j = chunk(lengths, m) - 1 - t
+                actives.append((j >= 0) & (lo < hi))
+                c = jnp.take_along_axis(
+                    chunk(reads, m), jnp.clip(j, 0)[:, None], axis=1
+                )[:, 0]
+                css.append(c)
+                cc = jnp.concatenate([c, c])
+                q = jnp.concatenate([lo, hi])
+                gathered.append(local_occ_gather(sh, cc, q))
+            occ, token = ring.fused_rank_ring(
+                jnp.stack([g[0] for g in gathered]),
+                jnp.stack([jnp.concatenate([c, c]) for c in css]),
+                jnp.stack([g[1] for g in gathered]),
+                jnp.stack([g[2] for g in gathered]),
+                jnp.stack([g[3] for g in gathered]),
+                interval_axis, interpret=ring_interpret, token=token,
+            )
+            out = []
+            for m in range(mb):
+                lo, hi = chunks[m]
+                occ_lo, occ_hi = occ[m, :Bc], occ[m, Bc:]
+                Cc = sh.C[css[m].astype(jnp.int32)]
+                nlo, nhi = Cc + occ_lo, Cc + occ_hi
+                out.append(
+                    (
+                        jnp.where(actives[m], nlo, lo),
+                        jnp.where(actives[m], nhi, hi),
+                    )
+                )
+            return tuple(out), token
+
         def body(t, state):
+            if use_fused:
+                return body_fused(t, state)
             chunks, token = state
             # one tuple entry per interleaved chunk; with psum merge the
             # chunks' collectives are data-independent within a step

@@ -44,6 +44,13 @@ class ShardedText:
     n: int = dataclasses.field(metadata=dict(static=True))
 
 
+def _verify_engine(mesh) -> str:
+    """DP-verify engine matching the MESH's platform, not the process
+    default: a CPU dryrun mesh in a TPU-default process (axon plugin pins
+    jax_platforms at interpreter start) must not lower the Pallas kernel."""
+    return "jnp" if mesh.devices.flat[0].platform == "cpu" else "pallas"
+
+
 def shard_text(text_words: np.ndarray, n: int, n_shards: int) -> ShardedText:
     total_words = text_words.size
     ws = -(-total_words // n_shards)
@@ -259,7 +266,8 @@ def make_sharded_seed_align(
         r = jnp.repeat(reads.astype(jnp.int8), Cs, axis=0)
         ln = jnp.repeat(lengths, Cs)
         dist, _ = dp_ops.banded_edit_distance_best(
-            r, ln, my_codes.reshape(B * Cs, W).astype(jnp.int8), k
+            r, ln, my_codes.reshape(B * Cs, W).astype(jnp.int8), k,
+            engine=_verify_engine(mesh),
         )
         dist = jnp.where(invalid, dp_ops.INF, dist.reshape(B, Cs))
         dist_all = jax.lax.all_gather(dist, interval_axis, axis=1, tiled=True)
@@ -361,7 +369,8 @@ def make_sharded_pigeonhole_align(
         r = jnp.repeat(reads.astype(jnp.int8), Cs, axis=0)
         ln = jnp.repeat(lengths, Cs)
         dist, _ = dp_ops.banded_edit_distance_best(
-            r, ln, my_codes.reshape(B * Cs, W).astype(jnp.int8), k
+            r, ln, my_codes.reshape(B * Cs, W).astype(jnp.int8), k,
+            engine=_verify_engine(mesh),
         )
         dist = dist.reshape(B, Cs)
         dist = jnp.where(invalid, dp_ops.INF, dist)

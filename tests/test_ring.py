@@ -117,6 +117,94 @@ def test_sharded_search_ring_merge_and_microbatch():
                for i, p in enumerate(pos0))
 
 
+@pytest.mark.parametrize("n,M", [(1, 2), (2, 2), (4, 2), (4, 3), (8, 2)])
+def test_fused_rank_ring_matches_psum_of_local_occ(n, M):
+    """fused_rank_ring == psum(local_occ_codes) bit-exactly, per payload."""
+    from genome_weaver_align_tpu.index.build import build_fm_index
+    from genome_weaver_align_tpu.parallel import sharded_index as si
+
+    mesh = _mesh(n)
+    rng = np.random.default_rng(3 * n + M)
+    codes_txt = rng.integers(0, 4, size=1500, dtype=np.uint8)
+    fm = build_fm_index(codes_txt, sample_rate=16)
+    sh = si.shard_fm_index(fm, n)
+    sh_dev = si.put_sharded(sh, mesh, "i")
+
+    Q = 96  # deliberately not a lane multiple — exercises padding
+    qk = rng.integers(0, fm.n + 1, size=(M, Q)).astype(np.int32)
+    qc = rng.integers(0, 4, size=(M, Q)).astype(np.int32)
+
+    def f(shl):
+        shl = si.squeeze_local(shl)
+        outs = []
+        want = []
+        for m in range(M):
+            want.append(
+                jax.lax.psum(
+                    si.local_occ_codes(shl, jnp.asarray(qc[m]), jnp.asarray(qk[m])),
+                    "i",
+                )
+            )
+        g = [si.local_occ_gather(shl, jnp.asarray(qc[m]), jnp.asarray(qk[m]))
+             for m in range(M)]
+        got = ring.fused_rank_ring(
+            jnp.stack([x[0] for x in g]),
+            jnp.asarray(qc),
+            jnp.stack([x[1] for x in g]),
+            jnp.stack([x[2] for x in g]),
+            jnp.stack([x[3] for x in g]),
+            "i", interpret=True,
+        )
+        return got[None], jnp.stack(want)[None]
+
+    fn = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh, in_specs=(si.index_specs("i", sh),),
+            out_specs=(P("i"), P("i")), check_vma=False,
+        )
+    )
+    got, want = (np.asarray(v) for v in fn(sh_dev))
+    for d in range(n):
+        assert np.array_equal(got[d], want[d]), (n, M, d)
+
+
+def test_sharded_search_fused_merge():
+    """merge='fused' returns the same (lo, hi, pos) as the psum path."""
+    from genome_weaver_align_tpu.index.build import build_fm_index
+    from genome_weaver_align_tpu.parallel import mesh as pmesh
+    from genome_weaver_align_tpu.parallel import sharded_index as si
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("need 4 devices")
+    m = pmesh.make_mesh(n_data=2, n_interval=2, devices=devs[:4])
+
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, 4, size=2048, dtype=np.uint8)
+    fm = build_fm_index(codes, sample_rate=16)
+    B, L = 16, 20
+    starts = rng.integers(0, codes.size - L, size=B)
+    reads = np.stack([codes[s : s + L] for s in starts]).astype(np.int32)
+    lengths = np.full(B, L, np.int32)
+
+    sh = si.shard_fm_index(fm, 2)
+    sh = si.put_sharded(sh, m, pmesh.INTERVAL_AXIS)
+    r, l, _ = pmesh.shard_reads(m, reads, lengths)
+
+    base_fn = si.make_sharded_exact_search(
+        m, pmesh.INTERVAL_AXIS, pmesh.DATA_AXIS, max_len=L, like=sh
+    )
+    fused_fn = si.make_sharded_exact_search(
+        m, pmesh.INTERVAL_AXIS, pmesh.DATA_AXIS, max_len=L, like=sh,
+        merge="fused", microbatch=2, ring_interpret=True,
+    )
+    lo0, hi0, pos0 = (np.asarray(v)[:B] for v in base_fn(sh, r, l))
+    lo1, hi1, pos1 = (np.asarray(v)[:B] for v in fused_fn(sh, r, l))
+    assert np.array_equal(lo0, lo1)
+    assert np.array_equal(hi0, hi1)
+    assert np.array_equal(pos0, pos1)
+
+
 @pytest.mark.skipif(
     __import__("os").environ.get("GWA_TEST_TPU") != "1",
     reason="hardware-gated: set GWA_TEST_TPU=1 with a real TPU attached",
@@ -139,3 +227,56 @@ def test_ring_psum_compiles_on_hardware():
     )
     got = np.asarray(fn(x))
     assert np.array_equal(got[0], x[0])
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("GWA_TEST_TPU") != "1",
+    reason="hardware-gated: set GWA_TEST_TPU=1 with a real TPU attached",
+)
+def test_fused_rank_ring_compiles_on_hardware():
+    """Mosaic-compile the fused rank+ring kernel on the real chip (ring of
+    1: no RDMA, but the popcount rank compute + semaphore plumbing must
+    compile) and check the rank result against the jnp oracle."""
+    from genome_weaver_align_tpu.index.build import build_fm_index
+    from genome_weaver_align_tpu.parallel import sharded_index as si
+
+    devs = [d for d in jax.devices() if d.platform != "cpu"]
+    if not devs:
+        pytest.skip("no TPU attached")
+    mesh = jax.make_mesh((1,), ("i",), devices=devs[:1])
+
+    rng = np.random.default_rng(5)
+    codes_txt = rng.integers(0, 4, size=1500, dtype=np.uint8)
+    fm = build_fm_index(codes_txt, sample_rate=16)
+    sh = si.shard_fm_index(fm, 1)
+    sh_dev = si.put_sharded(sh, mesh, "i")
+    M, Q = 2, 256
+    qk = rng.integers(0, fm.n + 1, size=(M, Q)).astype(np.int32)
+    qc = rng.integers(0, 4, size=(M, Q)).astype(np.int32)
+
+    def f(shl):
+        shl = si.squeeze_local(shl)
+        want = jnp.stack([
+            si.local_occ_codes(shl, jnp.asarray(qc[m]), jnp.asarray(qk[m]))
+            for m in range(M)
+        ])
+        g = [si.local_occ_gather(shl, jnp.asarray(qc[m]), jnp.asarray(qk[m]))
+             for m in range(M)]
+        got = ring.fused_rank_ring(
+            jnp.stack([x[0] for x in g]),
+            jnp.asarray(qc),
+            jnp.stack([x[1] for x in g]),
+            jnp.stack([x[2] for x in g]),
+            jnp.stack([x[3] for x in g]),
+            "i",
+        )
+        return got[None], want[None]
+
+    fn = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh, in_specs=(si.index_specs("i", sh),),
+            out_specs=(P("i"), P("i")), check_vma=False,
+        )
+    )
+    got, want = (np.asarray(v) for v in fn(sh_dev))
+    assert np.array_equal(got[0], want[0])
