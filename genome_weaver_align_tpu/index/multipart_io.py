@@ -157,8 +157,15 @@ def align_stream_multipart(
 ):
     """Align every read against every part, improve-merging per-read bests.
 
-    Returns (best_dist, best_gpos, best_strand, mapped, wall_s) with
-    genome-GLOBAL positions.  Parts stream through HBM one at a time."""
+    Returns (best_dist, best_gpos, best_strand, mapped, align_s, load_s)
+    with genome-GLOBAL positions.  Parts stream through HBM one at a time.
+
+    ``align_s`` counts device+merge time only; ``load_s`` is the per-part
+    disk-load + HBM upload total, reported separately because it is a
+    once-per-part cost that amortizes over the WHOLE read stream (a
+    production run streams millions of reads per part; a bench that folds
+    ~7 min of one-time load into a 4-batch stream would measure the disk,
+    not the aligner)."""
     from ..models.pipeline import SuffixFilterAligner
 
     N = reads.shape[0]
@@ -168,15 +175,30 @@ def align_stream_multipart(
     best_gpos = np.full(N, np.int64(1) << 62, np.int64)
     best_strand = np.zeros(N, np.int64)
 
-    t0 = time.time()
+    align_s = 0.0
+    load_s = 0.0
     for p in range(mi.n_parts):
         tp = time.time()
         gi, seed_tab, seed_j, goff = load_part(mi.part_dir, p)
+        # Budgets scale with part size: the mean j-mer bucket holds
+        # n/4^j positions (~24 at 1.6 Gbp, j=13), so the 230 Mbp defaults
+        # (8/12) would flood EVERY read into the 16x tier-1 rerun — the
+        # fallback would become the primary path at 2x the cost.  Rare-probe
+        # selection keeps most reads well under the mean, hence 1.5x mean
+        # rather than several-x.
+        mean_bucket = gi.fwd.n / 4**seed_j
+        max_hits = max(8, min(64, int(1.5 * mean_bucket)))
+        max_cands = max(12, min(96, 2 * max_hits))
         al = SuffixFilterAligner(
-            gi, k=k, max_hits_per_piece=8, seed_table=seed_tab, seed_j=seed_j,
-            max_cands=12, verify_slack=4,
+            gi, k=k, max_hits_per_piece=max_hits, seed_table=seed_tab,
+            seed_j=seed_j, max_cands=max_cands, verify_slack=4,
         )
-        log(f"part {p}: loaded+uploaded in {time.time()-tp:.1f}s (n={gi.fwd.n})")
+        load_s += time.time() - tp
+        log(
+            f"part {p}: loaded+uploaded in {time.time()-tp:.1f}s "
+            f"(n={gi.fwd.n}, max_hits={max_hits}, max_cands={max_cands})"
+        )
+        t0 = time.time()
 
         def submit(b):
             return al.align_arrays_submit(reads[b * batch : (b + 1) * batch], lengths_row)
@@ -201,11 +223,15 @@ def align_stream_multipart(
             best_dist[sl] = np.where(better, d, cur[0])
             best_gpos[sl] = np.where(better, g, cur[1])
             best_strand[sl] = np.where(better, st, cur[2])
-        del al, gi, seed_tab
+        align_s += time.time() - t0
+        # ``submit`` closes over ``al`` — deleting only the names would keep
+        # the part's ~GB device tables alive through the NEXT part's upload
+        # (two parts > one v5e HBM: the run wedges inside the runtime's
+        # allocation retry, found the hard way at 2x8.67 GB)
+        del al, gi, seed_tab, submit, pending
         gc.collect()  # drop this part's device buffers before the next upload
-    wall = time.time() - t0
     mapped = best_dist <= k
-    return best_dist, best_gpos, best_strand, mapped, wall
+    return best_dist, best_gpos, best_strand, mapped, align_s, load_s
 
 
 def bench_align_stream(
@@ -223,9 +249,10 @@ def bench_align_stream(
 
     # warmup/compile on one batch (first part only costs the jit once; the
     # per-part loop reuses the same executable shapes)
-    dist, gpos, strand, mapped, wall = align_stream_multipart(
+    dist, gpos, strand, mapped, align_s, load_s = align_stream_multipart(
         mi, reads, lengths_row, batch, log=log
     )
-    rate = N / wall
+    rate = N / align_s
+    log(f"multi-part: align {align_s:.1f}s, part load+upload {load_s:.1f}s")
     correct = mapped & (gpos == true_gpos[:N]) & (strand == true_strand[:N])
-    return rate, float(mapped.mean()), float(correct.mean())
+    return rate, float(mapped.mean()), float(correct.mean()), load_s

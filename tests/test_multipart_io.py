@@ -1,0 +1,129 @@
+"""Streaming multi-part index IO (index/multipart_io.py) at toy scale.
+
+The production operating point is the >=1 Gbp bench (`bench.py --only gbp`
+against scripts/build_gbp_index.py output); this pins the SEMANTICS on a
+2-part toy genome: save/load round-trip, part-at-a-time streaming, and the
+deterministic cross-part improve-merge being bit-identical to aligning
+against a single whole-genome index.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from genome_weaver_align_tpu.index import seedtable
+from genome_weaver_align_tpu.index.build import build_fm_index
+from genome_weaver_align_tpu.index.files import Genome, GenomeIndex
+from genome_weaver_align_tpu.index import multipart_io as mp
+from genome_weaver_align_tpu.models.pipeline import SuffixFilterAligner
+
+J = 6
+L, K = 40, 2
+
+
+def _build_parts(tmp_path, rng, n_per_part=6000, n_parts=2):
+    parts_codes = []
+    offsets = [0]
+    for p in range(n_parts):
+        codes = rng.integers(0, 4, size=n_per_part, dtype=np.uint8)
+        # plant shared repeat units across parts so cross-part ties exercise
+        # the deterministic (dist, global_pos, strand) merge order
+        unit = rng.integers(0, 4, size=60, dtype=np.uint8)
+        for s in rng.integers(0, n_per_part - 60, size=6):
+            codes[s : s + 60] = unit
+        parts_codes.append(codes)
+        offsets.append(offsets[-1] + n_per_part)
+
+    part_dir = tmp_path / "parts"
+    for p, codes in enumerate(parts_codes):
+        fm = build_fm_index(codes, sample_rate=8)
+        so, sp = seedtable.build_seed_table(codes, J)
+        mp.save_part(
+            part_dir, p, fm, so, sp, J,
+            mp.PartMeta(
+                names=[f"c{p}"], lengths=[codes.size], global_offset=offsets[p]
+            ),
+        )
+    (part_dir / "parts.json").write_text(
+        json.dumps(
+            dict(
+                n_parts=n_parts,
+                names=[f"c{p}" for p in range(n_parts)],
+                lengths=[n_per_part] * n_parts,
+                part_offsets=offsets[:-1],
+            )
+        )
+    )
+    return part_dir, parts_codes, offsets
+
+
+def test_save_load_round_trip(tmp_path):
+    rng = np.random.default_rng(0)
+    part_dir, parts_codes, _ = _build_parts(tmp_path, rng)
+    gi, (so, sp), j, goff = mp.load_part(part_dir, 1)
+    assert j == J and goff == parts_codes[0].size
+    fm2 = build_fm_index(parts_codes[1], sample_rate=8)
+    assert gi.fwd.n == fm2.n and gi.fwd.primary == fm2.primary
+    assert np.array_equal(gi.fwd.bwt_words, fm2.bwt_words)
+    assert np.array_equal(gi.fwd.ssa_values, fm2.ssa_values)
+    so2, sp2 = seedtable.build_seed_table(parts_codes[1], J)
+    assert np.array_equal(so, so2) and np.array_equal(sp, sp2)
+    # extract goes through packed text_words (codes intentionally empty)
+    assert np.array_equal(
+        gi.fwd.extract(100, 60), parts_codes[1][100:160].astype(np.int64)
+    )
+
+
+def test_stream_merge_matches_single_index(tmp_path):
+    rng = np.random.default_rng(1)
+    part_dir, parts_codes, offsets = _build_parts(tmp_path, rng)
+    mi = mp.load_multi_index(part_dir)
+    whole = np.concatenate(parts_codes)
+
+    B = 32
+    n_reads = 64
+    starts = rng.integers(0, whole.size - L, size=n_reads)
+    # keep reads inside one part (a part boundary is a real contig boundary)
+    starts = np.where(
+        (starts % parts_codes[0].size) > parts_codes[0].size - L,
+        starts - L,
+        starts,
+    )
+    reads = whole[starts[:, None] + np.arange(L)[None, :]].astype(np.int8)
+    subs_at = rng.integers(0, L, size=n_reads)
+    reads[np.arange(n_reads), subs_at] = (
+        reads[np.arange(n_reads), subs_at] + 1
+    ) % 4
+    lengths_row = np.full(B, L, np.int32)
+
+    dist, gpos, strand, mapped, align_s, load_s = mp.align_stream_multipart(
+        mi, reads, lengths_row, B, k=K
+    )
+    assert mapped.all()
+    assert align_s > 0 and load_s > 0
+
+    # oracle: one aligner over the concatenated genome, same seed_j budgets
+    genome = Genome(
+        names=["c0", "c1"],
+        offsets=np.array([0, offsets[1], offsets[2]], dtype=np.int64),
+        codes=whole,
+        n_mask_spans=np.zeros((0, 2), np.int64),
+    )
+    fmw = build_fm_index(whole, sample_rate=8)
+    sow, spw = seedtable.build_seed_table(whole, J)
+    alw = SuffixFilterAligner(
+        GenomeIndex(genome, fmw, None), k=K, max_hits_per_piece=16,
+        seed_table=(sow, spw), seed_j=J, max_cands=32, verify_slack=4,
+    )
+    for b in range(n_reads // B):
+        sl = slice(b * B, (b + 1) * B)
+        ah = alw.align_arrays_finish(
+            alw.align_arrays_submit(reads[sl], lengths_row)
+        )
+        assert np.array_equal(ah.mapped, mapped[sl])
+        assert np.array_equal(ah.dist, dist[sl])
+        # merge order (dist, global_pos, strand) == the single-index
+        # deterministic best: positions agree even inside repeat families
+        assert np.array_equal(np.asarray(ah.pos), gpos[sl]), b
+        assert np.array_equal(np.asarray(ah.strand), strand[sl])
