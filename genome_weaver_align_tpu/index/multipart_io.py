@@ -177,9 +177,18 @@ def align_stream_multipart(
 
     align_s = 0.0
     load_s = 0.0
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(1)
+    nxt_part = pool.submit(load_part, mi.part_dir, 0)
     for p in range(mi.n_parts):
         tp = time.time()
-        gi, seed_tab, seed_j, goff = load_part(mi.part_dir, p)
+        # host-side load of part p+1 overlaps part p's align stream below
+        # (load_part is pure host npz IO; device upload stays serialized in
+        # the aligner constructor on this thread)
+        gi, seed_tab, seed_j, goff = nxt_part.result()
+        if p + 1 < mi.n_parts:
+            nxt_part = pool.submit(load_part, mi.part_dir, p + 1)
         # Budgets scale with part size: the mean j-mer bucket holds
         # n/4^j positions (~24 at 1.6 Gbp, j=13), so the 230 Mbp defaults
         # (8/12) would flood EVERY read into the 16x tier-1 rerun — the
@@ -188,7 +197,14 @@ def align_stream_multipart(
         # rather than several-x.
         mean_bucket = gi.fwd.n / 4**seed_j
         max_hits = max(8, min(64, int(1.5 * mean_bucket)))
-        max_cands = max(12, min(96, 2 * max_hits))
+        # verify-set cap stays tight: the verify stage materializes
+        # O(B * max_cands * L * 16) bytes of window/DP temps — 70 cands at
+        # B=16k compiled to a 2x10 GB HLO temp next to 8.7 GB of tables
+        # (XLA OOM, measured).  Rare-probe selection keeps the real cand
+        # count far below 2*max_hits: 3 pieces' rarest probes are ~<=10
+        # hits each at 1.6 Gbp, so 32 slots hold the deduped union for all
+        # but flooded reads (which carry the overflow flag either way).
+        max_cands = max(12, min(32, 2 * max_hits))
         al = SuffixFilterAligner(
             gi, k=k, max_hits_per_piece=max_hits, seed_table=seed_tab,
             seed_j=seed_j, max_cands=max_cands, verify_slack=4,
@@ -230,6 +246,7 @@ def align_stream_multipart(
         # allocation retry, found the hard way at 2x8.67 GB)
         del al, gi, seed_tab, submit, pending
         gc.collect()  # drop this part's device buffers before the next upload
+    pool.shutdown(wait=False)
     mapped = best_dist <= k
     return best_dist, best_gpos, best_strand, mapped, align_s, load_s
 

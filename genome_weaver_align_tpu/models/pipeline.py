@@ -539,6 +539,10 @@ class SuffixFilterAligner:
             ah = self._apply_overflow_fallback(ah, verify_fwd, np.asarray(lengths))
         return ah
 
+    FB_CHUNK = 1024  # tier-1 rerun chunk size: bounds the fallback step's
+    # verify temps (bucket x max_cands x ~16L bytes) so they fit beside
+    # multi-GB Gbp-part tables; one compile shape for any cohort size
+
     FB_MULT = 16  # tier-1 fallback budget multiplier.  Swept on the repeat
     # bench cohort (7,967 flooded reads of 32k, chr20-scale 25%-repeat
     # genome): x4 -> 187 ms, 6,028 mapped, 1,939 left for the staircase;
@@ -558,8 +562,14 @@ class SuffixFilterAligner:
             import copy
 
             fb = copy.copy(self)
-            fb.max_hits = self.max_hits * self.FB_MULT
-            fb.max_cands = self.max_cands * self.FB_MULT
+            # absolute caps matter when the PRIMARY budgets are already
+            # Gbp-scaled (multipart parts run max_hits=35): 16x on top of
+            # that compiled a fallback step whose verify temps
+            # (~cohort x max_cands x 16L bytes) alone exceeded HBM next to
+            # 8.7 GB of tables.  256/192 keep the 64-230 Mbp defaults
+            # (8/12 -> 128/192) bit-for-bit unchanged.
+            fb.max_hits = min(self.max_hits * self.FB_MULT, 256)
+            fb.max_cands = min(self.max_cands * self.FB_MULT, 192)
             fb.verify_slack = 0
             fb.overflow_fallback = False
             fb._fb = None
@@ -625,27 +635,52 @@ class SuffixFilterAligner:
             strand=writable(ah.strand), dist=writable(ah.dist),
             n_good=writable(ah.n_good), overflow=writable(ah.overflow),
         )
-        P = max(128, 1 << (int(idx.size) - 1).bit_length())
-        sel = np.concatenate([idx, np.full(P - idx.size, idx[0], idx.dtype)])
-        fh = fb.align_arrays_finish(
-            fb.align_arrays_submit(verify_fwd[sel], lengths[sel])
-        )
         n = idx.size
-        ah.mapped[idx] = fh.mapped[:n]
-        ah.pos[idx] = fh.pos[:n]
-        ah.strand[idx] = fh.strand[:n]
-        ah.dist[idx] = fh.dist[:n]
-        ah.n_good[idx] = fh.n_good[:n]
-        ah.overflow[idx] = fh.overflow[:n]  # still set if even FB_MULT-x overflowed
-        for t, i in enumerate(idx.tolist()):
-            if t in fh.cigars:
-                ah.cigars[i] = fh.cigars[t]
-            else:
-                ah.cigars.pop(i, None)
-            if t in fh.aux:
-                ah.aux[i] = fh.aux[t]
-            else:
-                ah.aux.pop(i, None)
+        # Chunked rerun: the fallback's verify temps scale with
+        # bucket x max_cands x L — one whole-cohort bucket next to
+        # Gbp-part tables (8.7 GB) wedged the runtime in allocation
+        # retry.  Fixed-size chunks bound the temps AND give a single
+        # compile shape; cohorts <= FB_CHUNK keep the old power-of-two
+        # bucket (bit-identical shapes for the small-genome benches).
+        CH = self.FB_CHUNK
+        if n <= CH:
+            P = max(128, 1 << (int(n) - 1).bit_length())
+            chunks = [(idx, P)]
+        else:
+            chunks = [(idx[o : o + CH], CH) for o in range(0, n, CH)]
+
+        def _submit(ch, P):
+            sel = np.concatenate([ch, np.full(P - ch.size, ch[0], ch.dtype)])
+            return fb.align_arrays_submit(verify_fwd[sel], lengths[sel])
+
+        still_parts = []
+        pending = _submit(*chunks[0])
+        for ci, (ch, P) in enumerate(chunks):
+            nxt = _submit(*chunks[ci + 1]) if ci + 1 < len(chunks) else None
+            fh = fb.align_arrays_finish(pending)
+            pending = nxt
+            m = ch.size
+            ah.mapped[ch] = fh.mapped[:m]
+            ah.pos[ch] = fh.pos[:m]
+            ah.strand[ch] = fh.strand[:m]
+            ah.dist[ch] = fh.dist[:m]
+            ah.n_good[ch] = fh.n_good[:m]
+            ah.overflow[ch] = fh.overflow[:m]  # still set if even capped-x overflowed
+            for t, i in enumerate(ch.tolist()):
+                if t in fh.cigars:
+                    ah.cigars[i] = fh.cigars[t]
+                else:
+                    ah.cigars.pop(i, None)
+                if t in fh.aux:
+                    ah.aux[i] = fh.aux[t]
+                else:
+                    ah.aux.pop(i, None)
+            still_parts.append(
+                ch[
+                    np.asarray(fh.overflow[:m], dtype=bool)
+                    & ~np.asarray(fh.mapped[:m], dtype=bool)
+                ]
+            )
         self.last_stats["n_overflow_fallback"] = int(n)
         self.last_stats["t_tier1_ms"] = round(
             (_time.perf_counter() - _t0) * 1e3, 1
@@ -657,10 +692,7 @@ class SuffixFilterAligner:
         # overflowed reads are not re-searched: their XO flag already marks
         # the multiplicity floor, and staircase time is reserved for reads
         # that would otherwise be silently lost.
-        still = idx[
-            np.asarray(fh.overflow[:n], dtype=bool)
-            & ~np.asarray(fh.mapped[:n], dtype=bool)
-        ]
+        still = np.concatenate(still_parts) if still_parts else idx[:0]
         fb2 = self._get_fb2() if still.size else None
         self.last_stats["n_staircase_fallback"] = int(still.size) if fb2 is not None else 0
         if fb2 is not None:
