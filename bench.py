@@ -924,8 +924,11 @@ def bench_gbp(metrics):
     from genome_weaver_align_tpu.index import multipart_io
 
     mi = multipart_io.load_multi_index(CACHE / "gbp_parts")
+    # batch 4096: the fused step's verify temps scale ~B x max_cands x 16L
+    # bytes and must fit beside 8.7 GB of part tables (8192 wedged the
+    # allocator; measured, not theorized)
     rate, mapped_frac, correct_frac, load_s = multipart_io.bench_align_stream(
-        mi, n_batches=8, batch=8_192, read_len=150, seed=29, log=log
+        mi, n_batches=8, batch=4_096, read_len=150, seed=29, log=log
     )
     metrics["multi_part_1gbp_reads_per_s"] = round(rate, 1)
     metrics["multi_part_1gbp_mapped_frac"] = round(mapped_frac, 4)

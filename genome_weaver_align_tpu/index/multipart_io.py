@@ -127,6 +127,31 @@ def load_part(part_dir: Path, i: int):
     )
 
 
+def load_rev(part_dir: Path, i: int) -> FMIndexData | None:
+    """Reverse-text FM of part i (scripts/build_gbp_rev.py), or None.
+
+    Only needed by the staircase rescue pass; streaming alignment proper
+    never touches it."""
+    p = Path(part_dir) / f"part{i}_rev.npz"
+    if not p.exists():
+        return None
+    z = np.load(p)
+    n = int(z["n"])
+    bits = np.unpackbits(z["mark_bits"])[: n + 1].astype(bool)
+    return FMIndexData(
+        n=n,
+        primary=int(z["primary"]),
+        counts=z["counts"],
+        C=z["C"],
+        bwt_words=z["bwt_words"],
+        occ_cp=z["occ_cp_i32"].astype(np.int64),
+        sample_rate=int(z["sample_rate"]),
+        ssa_marks=BitVector(bits),
+        ssa_values=z["ssa_values_i32"].astype(np.int64),
+        text_words=z["text_words"],
+    )
+
+
 @dataclass
 class MultiPartIndex:
     part_dir: Path
@@ -165,7 +190,17 @@ def align_stream_multipart(
     once-per-part cost that amortizes over the WHOLE read stream (a
     production run streams millions of reads per part; a bench that folds
     ~7 min of one-time load into a 4-batch stream would measure the disk,
-    not the aligner)."""
+    not the aligner).
+
+    Streaming passes run seed+tier-1 only.  The staircase completeness
+    backstop (tier-2) is DEFERRED to a final rescue pass over the reads
+    still unmapped after the cross-part merge — during streaming, a read
+    whose locus lives in another part is indistinguishable from a
+    repeat-flooded one, so per-part tier-2 would staircase ~half of every
+    batch for nothing.  The rescue needs per-part reverse indexes
+    (scripts/build_gbp_rev.py); without them it is skipped."""
+    import jax
+
     from ..models.pipeline import SuffixFilterAligner
 
     N = reads.shape[0]
@@ -209,6 +244,13 @@ def align_stream_multipart(
             gi, k=k, max_hits_per_piece=max_hits, seed_table=seed_tab,
             seed_j=seed_j, max_cands=max_cands, verify_slack=4,
         )
+        # jnp.asarray uploads are async: force the 8.7 GB of tables onto the
+        # device INSIDE the load window, or the transfer bills to batch 0
+        # (measured: 235 s of "align" time that was really the upload)
+        jax.block_until_ready(
+            (al.fm.blocks, al.fm.mark_blocks, al.fm.ssa_values,
+             al.text_words, al.seed_tab)
+        )
         load_s += time.time() - tp
         log(
             f"part {p}: loaded+uploaded in {time.time()-tp:.1f}s "
@@ -247,6 +289,61 @@ def align_stream_multipart(
         del al, gi, seed_tab, submit, pending
         gc.collect()  # drop this part's device buffers before the next upload
     pool.shutdown(wait=False)
+
+    # ---- deferred tier-2: staircase rescue of the still-unmapped tail ----
+    from ..index.files import GenomeIndex as _GI
+
+    un = np.nonzero(best_dist > k)[0]
+    have_rev = all(
+        (Path(mi.part_dir) / f"part{p}_rev.npz").exists()
+        for p in range(mi.n_parts)
+    )
+    if un.size and have_rev:
+        L = reads.shape[1]
+        for p in range(mi.n_parts):
+            tp = time.time()
+            gi, _seed, _j, goff = load_part(mi.part_dir, p)
+            rev = load_rev(mi.part_dir, p)
+            gi = _GI(gi.genome, gi.fwd, rev)
+            al2 = SuffixFilterAligner(
+                gi, k=k, max_hits_per_piece=8, use_staircase=True,
+                verify_slack=16, overflow_fallback=False,
+            )
+            jax.block_until_ready(
+                (al2.fm.blocks, al2.bi.rev.blocks, al2.text_words)
+            )
+            load_s += time.time() - tp
+            t0 = time.time()
+            CH = 2048
+            for o in range(0, un.size, CH):
+                ch = un[o : o + CH]
+                P = CH if un.size > CH else max(
+                    128, 1 << (int(ch.size) - 1).bit_length()
+                )
+                sel = np.concatenate([ch, np.full(P - ch.size, ch[0], ch.dtype)])
+                ah = al2.align_arrays_finish(
+                    al2.align_arrays_submit(reads[sel], np.full(P, L, np.int32))
+                )
+                m = ch.size
+                d = np.where(ah.mapped[:m], ah.dist[:m], 1 << 20)
+                g = np.where(ah.mapped[:m], ah.pos[:m] + goff, np.int64(1) << 62)
+                st = ah.strand[:m]
+                cur = (best_dist[ch], best_gpos[ch], best_strand[ch])
+                better = (d < cur[0]) | (
+                    (d == cur[0])
+                    & ((g < cur[1]) | ((g == cur[1]) & (st < cur[2])))
+                )
+                best_dist[ch] = np.where(better, d, cur[0])
+                best_gpos[ch] = np.where(better, g, cur[1])
+                best_strand[ch] = np.where(better, st, cur[2])
+            align_s += time.time() - t0
+            log(
+                f"rescue part {p}: staircase over {un.size} unmapped reads "
+                f"in {time.time()-t0:.1f}s"
+            )
+            del al2, gi, rev
+            gc.collect()
+
     mapped = best_dist <= k
     return best_dist, best_gpos, best_strand, mapped, align_s, load_s
 

@@ -58,6 +58,90 @@ def _build_parts(tmp_path, rng, n_per_part=6000, n_parts=2):
     return part_dir, parts_codes, offsets
 
 
+def _write_rev(part_dir, p, codes):
+    """What scripts/build_gbp_rev.py writes, at toy scale."""
+    rev = build_fm_index(codes[::-1].copy(), sample_rate=8)
+    marks = rev.ssa_marks.get(np.arange(rev.n + 1))
+    np.savez(
+        part_dir / f"part{p}_rev.npz",
+        n=rev.n, primary=rev.primary, counts=rev.counts, C=rev.C,
+        bwt_words=rev.bwt_words, occ_cp_i32=rev.occ_cp.astype(np.int32),
+        sample_rate=rev.sample_rate, mark_bits=np.packbits(marks),
+        ssa_values_i32=rev.ssa_values.astype(np.int32),
+        text_words=rev.text_words,
+    )
+
+
+def test_staircase_rescue_maps_flooded_reads(tmp_path):
+    """A read inside a high-copy repeat family floods every seed bucket, so
+    the streaming pass truncates past its own locus (unmapped); the deferred
+    staircase rescue (per-part reverse indexes present) must map it exactly.
+    """
+    rng = np.random.default_rng(3)
+    n_per_part = 6000
+    part0 = rng.integers(0, 4, size=n_per_part, dtype=np.uint8)
+    # part 1: 50 copies of a 60bp unit, each with 4 private mutations ->
+    # copies differ by ~8 bases (>k within any 40bp window), buckets ~50 wide
+    unit = rng.integers(0, 4, size=60, dtype=np.uint8)
+    copies = []
+    for _ in range(50):
+        c = unit.copy()
+        at = rng.choice(60, size=4, replace=False)
+        c[at] = (c[at] + rng.integers(1, 4, size=4)) % 4
+        copies.append(c)
+    part1 = np.concatenate(
+        [rng.integers(0, 4, size=1500, dtype=np.uint8)]
+        + copies
+        + [rng.integers(0, 4, size=n_per_part - 1500 - 50 * 60, dtype=np.uint8)]
+    )
+    parts_codes = [part0, part1]
+    offsets = [0, n_per_part, 2 * n_per_part]
+
+    part_dir = tmp_path / "parts"
+    for p, codes in enumerate(parts_codes):
+        fm = build_fm_index(codes, sample_rate=8)
+        so, sp = seedtable.build_seed_table(codes, J)
+        mp.save_part(
+            part_dir, p, fm, so, sp, J,
+            mp.PartMeta(names=[f"c{p}"], lengths=[codes.size], global_offset=offsets[p]),
+        )
+        _write_rev(part_dir, p, codes)
+    (part_dir / "parts.json").write_text(
+        json.dumps(dict(n_parts=2, names=["c0", "c1"],
+                        lengths=[n_per_part] * 2, part_offsets=offsets[:-1]))
+    )
+    mi = mp.load_multi_index(part_dir)
+
+    B = 32
+    Lr = 40
+    # reads from inside repeat copies (one planted sub each) + normal reads
+    n_rep, n_norm = 8, 24
+    rep_start = 1500 + 60 * np.arange(4, 4 + n_rep) + 10  # inside copies 4..11
+    reads = np.zeros((B, Lr), dtype=np.int8)
+    true_g = np.zeros(B, dtype=np.int64)
+    for t in range(n_rep):
+        s = int(rep_start[t])
+        row = part1[s : s + Lr].copy()
+        row[7] = (row[7] + 1) % 4
+        reads[t] = row
+        true_g[t] = offsets[1] + s
+    whole = np.concatenate(parts_codes)
+    for t in range(n_rep, B):
+        s = int(rng.integers(0, n_per_part - Lr))  # part 0, repeat-free
+        reads[t] = part0[s : s + Lr]
+        true_g[t] = s
+    lengths_row = np.full(B, Lr, np.int32)
+
+    dist, gpos, strand, mapped, align_s, load_s = mp.align_stream_multipart(
+        mi, reads, lengths_row, B, k=K
+    )
+    assert mapped.all(), np.nonzero(~mapped)[0]
+    # repeat reads must land on their OWN copy (other copies are > k away)
+    assert np.array_equal(gpos[:n_rep], true_g[:n_rep])
+    assert (dist[:n_rep] == 1).all()
+    assert (strand == 0).all()
+
+
 def test_save_load_round_trip(tmp_path):
     rng = np.random.default_rng(0)
     part_dir, parts_codes, _ = _build_parts(tmp_path, rng)
