@@ -43,31 +43,30 @@ class Pool(NamedTuple):
 def _compact_pool(iv: BiInterval, mm, n_slots: int):
     """Keep the first n_slots live lanes (stable), count total live.
 
-    O(S) cumsum + row-scatter (the same dense-work-queue trick as
-    ``suffix_filter.compact_lanes``): each live lane's target slot is its
-    exclusive running count; lanes past the budget and dead lanes scatter
-    out of range (dropped).  This runs INSIDE the per-character extension
-    loop, where the previous stable argsort over (B, 4*n_slots) lanes was
-    ~the whole staircase cost (bitonic sort passes vs one cumsum)."""
+    Gather formulation: src[b, s] = index of the (s+1)-th live lane, found
+    by binary search on the per-row liveness cumsum; then ONE take per
+    field.  This replaced (r4) the cumsum+row-scatter version — measured on
+    the tier-2 cohort shape, five (B, 4S) scatters were ~70% of the whole
+    forward loop while ``extend_forward_all4``'s gathers were noise (TPU
+    scatter serializes; gathers vectorize).  The earlier stable argsort was
+    worse still.  Semantics identical: stable order, dead slots zeroed,
+    ``live`` = total live lanes (may exceed n_slots — caller's overflow
+    flag)."""
     B, S4 = mm.shape
     alive = iv.hi > iv.lo
-    slot = jnp.cumsum(alive.astype(jnp.int32), axis=1) - 1  # (B, S4)
-    live = slot[:, -1] + 1
-    rowbase = jnp.arange(B, dtype=jnp.int32)[:, None] * n_slots
-    flat_tgt = jnp.where(
-        alive & (slot < n_slots), rowbase + slot, B * n_slots
-    ).reshape(-1)
+    cs = jnp.cumsum(alive.astype(jnp.int32), axis=1)  # (B, S4) nondecreasing
+    live = cs[:, -1]
+    targets = jnp.arange(1, n_slots + 1, dtype=jnp.int32)
+    src = jax.vmap(lambda row: jnp.searchsorted(row, targets, side="left"))(cs)
+    src = jnp.clip(src, 0, S4 - 1)
+    ok = targets[None, :] <= live[:, None]
 
-    def scat(field):
-        return (
-            jnp.zeros((B * n_slots,), field.dtype)
-            .at[flat_tgt]
-            .set(field.reshape(-1), mode="drop")
-            .reshape(B, n_slots)
-        )
+    def take(field):
+        g = jnp.take_along_axis(field, src, axis=1)
+        return jnp.where(ok, g, 0)
 
-    packed = BiInterval(scat(iv.lo), scat(iv.hi), scat(iv.rlo), scat(iv.rhi))
-    return packed, scat(mm), live
+    packed = BiInterval(take(iv.lo), take(iv.hi), take(iv.rlo), take(iv.rhi))
+    return packed, take(mm), live
 
 
 @partial(jax.jit, static_argnames=("k", "n_slots", "hits_per_state", "keep", "max_len"))
@@ -76,7 +75,7 @@ def staircase_filter_candidates(
     reads: jax.Array,  # (B, L) int32
     lengths: jax.Array,
     k: int,
-    n_slots: int = 64,
+    n_slots: int = 16,
     hits_per_state: int = 4,
     keep: int = 8,
     max_hits: int | None = None,  # accepted for API parity; unused
@@ -169,9 +168,13 @@ def staircase_filter_candidates(
     iv, mm, live_final = compact(iv, mm, keep)
     overflow_pb = overflow_pb | (live_final > keep)
 
-    # -> candidate loci (read start = occ - s_i), ONE locate for all pieces
+    # -> candidate loci (read start = occ - s_i), ONE locate for all pieces.
+    # Dead lanes are pinned to row 0, not clipped garbage: the sparse-SA
+    # LF walk on wild rows scatters its gathers across the whole index
+    # (measured ~half the tier-2 pass); row 0 keeps them cache-resident.
     rows = iv.lo[..., None] + jnp.arange(hits_per_state, dtype=jnp.int32)
     valid = rows < iv.hi[..., None]
+    rows = jnp.where(valid, rows, 0)
     pos = rank.locate(bi.fwd, jnp.clip(rows, 0, n).reshape(-1)).reshape(rows.shape)
     cand = jnp.where(valid, pos - s_pb[..., None, None], NO_CAND)  # (P,B,keep,H)
     overflow_pb = overflow_pb | jnp.any((iv.hi - iv.lo) > hits_per_state, axis=2)

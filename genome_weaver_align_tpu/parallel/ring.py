@@ -185,15 +185,20 @@ def _fused_rank_ring_kernel(
     full = jnp.uint32(0xFFFFFFFF)
 
     def partial_of(m):
+        # codes arrive pre-spread (code * 0x55555555, computed by XLA):
+        # Mosaic's compile helper ICEd on the in-kernel u32 multiply +
+        # (full >> (32 - shift)) mask form; the left-shift form with
+        # shift <= 30 and a >=16 select compiles clean and is bit-identical
         w = words_ref[m]  # (8, R) uint32
-        code = codes_ref[m].astype(jnp.uint32)  # (1, R)
+        cpair = codes_ref[m].astype(jnp.uint32)  # (1, R) = code * PAIR
         roff = roff_ref[m]  # (1, R) int32
-        x = w ^ (code * pair)
+        x = w ^ cpair
         j16 = 16 * lax.broadcasted_iota(jnp.int32, w.shape, 0)
-        allowed = jnp.clip(roff - j16, 0, 16).astype(jnp.uint32)
-        shift = 2 * allowed
-        safe = jnp.clip(32 - shift, 0, 31).astype(jnp.uint32)
-        mask = jnp.where(shift == 0, jnp.uint32(0), full >> safe)
+        allowed = jnp.clip(roff - j16, 0, 16)
+        shift = (2 * jnp.minimum(allowed, 15)).astype(jnp.uint32)  # <= 30
+        mask = jnp.where(
+            allowed >= 16, full, (jnp.uint32(1) << shift) - jnp.uint32(1)
+        )
         mm = ~(x | (x >> jnp.uint32(1))) & pair & mask
         cnt = jnp.sum(
             lax.population_count(mm).astype(jnp.int32), axis=0, keepdims=True
@@ -337,9 +342,10 @@ def fused_rank_ring(
             jnp.pad(a, ((0, 0), (0, pad))) for a in (codes, roff, base, own)
         )
     R = Q + pad
+    cpair = codes.astype(jnp.uint32) * jnp.uint32(0x55555555)
     out = _fused_rank_ring_call(
         words_t.astype(jnp.uint32),
-        codes[:, None, :].astype(jnp.int32),
+        cpair[:, None, :],
         roff[:, None, :].astype(jnp.int32),
         base[:, None, :].astype(jnp.int32),
         own[:, None, :].astype(jnp.int32),

@@ -18,7 +18,14 @@ from genome_weaver_align_tpu.parallel import ring
 
 
 def _mesh(n):
-    devs = jax.devices()
+    # interpret-mode tests ALWAYS use CPU devices: the TPU interpreter
+    # simulates the RDMA machinery on the host, and running it against a
+    # real-TPU mesh (GWA_TEST_TPU=1 suite) wedges the backend — the two
+    # *_on_hardware tests below are the only ones that touch the chip
+    try:
+        devs = jax.devices("cpu")
+    except RuntimeError:
+        devs = jax.devices()
     if len(devs) < n:
         pytest.skip(f"need {n} devices, have {len(devs)}")
     return jax.make_mesh((n,), ("i",), devices=devs[:n])
