@@ -308,6 +308,11 @@ def align_stream_multipart(
             al2 = SuffixFilterAligner(
                 gi, k=k, max_hits_per_piece=8, use_staircase=True,
                 verify_slack=16, overflow_fallback=False,
+                # full-width pool: a 400k-copy family branches far past the
+                # 16-slot default (measured: 1.4% of the stream stayed
+                # unmapped to pool truncation); the rescue cohort is a few
+                # thousand reads, so the 4x pool costs seconds, not minutes
+                staircase_slots=64,
             )
             jax.block_until_ready(
                 (al2.fm.blocks, al2.bi.rev.blocks, al2.text_words)

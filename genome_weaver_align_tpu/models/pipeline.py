@@ -214,6 +214,10 @@ class SuffixFilterAligner:
         seed_probes: int = suffix_filter.SEED_PROBES,  # rare-seed probes per
         # piece (1 = piece-end-anchored only); rarest-of-R dodges repeat
         # floods, R=1 is cheapest on repeat-free genomes
+        staircase_slots: int = 16,  # staircase pool lanes per (piece, read);
+        # 16 fits the measured live fraction on chr20-scale repeat cohorts
+        # (mean 0.5% of 64); very-high-copy families (Gbp multipart rescue)
+        # branch wider — pass 64 there, the rescue cohort is tiny
     ):
         import jax.numpy as jnp
 
@@ -242,6 +246,7 @@ class SuffixFilterAligner:
         self.overflow_fallback = overflow_fallback
         self.scored = scored
         self.seed_probes = seed_probes
+        self.staircase_slots = staircase_slots
         self._fb: "SuffixFilterAligner | None" = None
         self._fb2: "SuffixFilterAligner | None" = None
         if use_staircase:
@@ -263,6 +268,7 @@ class SuffixFilterAligner:
                 jnp.asarray(search_reads),
                 jnp.asarray(lengths),
                 self.k,
+                n_slots=self.staircase_slots,
                 max_hits=self.max_hits,
             )
         else:
