@@ -830,30 +830,54 @@ def bench_long(metrics):
     reads = np.where(strand[:, None] == 1, rc, reads).astype(np.int8)
     lengths_row = np.full(B, L, np.int32)
 
+    # (a) mapping rate: chunk-vote-verify only — the device path.  (b) one
+    # batch with the whole-read banded affine traceback for exact
+    # CIGAR/POS correctness + the with-CIGAR rate; the traceback is host
+    # C++ (OpenMP over reads) and this box has 2 cores, so it is reported
+    # as its own number instead of hiding the device mapper behind it.
     bt = []
-    n_mapped = n_correct = 0
+    n_mapped = n_close = 0
     for b in range(n_batches):
         t0 = time.perf_counter()
-        lh = al.align_arrays(reads[b * B : (b + 1) * B], lengths_row)
+        lh = al.align_arrays(
+            reads[b * B : (b + 1) * B], lengths_row, traceback=False
+        )
         bt.append(time.perf_counter() - t0)
         sl = slice(b * B, (b + 1) * B)
         n_mapped += int(lh.mapped.sum())
-        n_correct += int(
-            (lh.mapped & (np.abs(lh.pos - pos[sl]) <= 4) & (lh.strand == strand[sl])).sum()
+        # without traceback, pos is the vote-cluster minimum: correct locus
+        # within the drift band
+        n_close += int(
+            (
+                lh.mapped
+                & (np.abs(lh.pos - pos[sl]) <= al.band + al.kb)
+                & (lh.strand == strand[sl])
+            ).sum()
         )
     bt = np.asarray(bt)
     pair = (bt[:-1] + bt[1:]) / 2 if bt.size > 1 else bt
     rate = B / float(np.min(pair))
-    metrics["long_read_4kb_reads_per_s"] = round(rate, 1)
-    metrics["long_read_4kb_bases_per_s"] = round(rate * L, 0)
+    t0 = time.perf_counter()
+    lh = al.align_arrays(reads[:B], lengths_row, traceback=True)
+    tb_rate = B / (time.perf_counter() - t0)
+    n_exact = int(
+        (lh.mapped & (np.abs(lh.pos - pos[:B]) <= 4) & (lh.strand == strand[:B])).sum()
+    )
+    metrics["long_read_4kb_map_reads_per_s"] = round(rate, 1)
+    metrics["long_read_4kb_map_bases_per_s"] = round(rate * L, 0)
+    metrics["long_read_4kb_cigar_reads_per_s"] = round(tb_rate, 1)
     metrics["long_read_mapped_frac"] = round(n_mapped / N, 4)
-    metrics["long_read_correct_frac"] = round(n_correct / N, 4)
+    metrics["long_read_locus_correct_frac"] = round(n_close / N, 4)
+    metrics["long_read_exact_pos_frac"] = round(n_exact / B, 4)
     log(
-        f"long reads 4kb chr20: {rate:,.1f} reads/s ({rate*L/1e6:,.1f} Mbp/s), "
-        f"mapped {n_mapped/N:.4f}, correct {n_correct/N:.4f}"
+        f"long reads 4kb chr20: map {rate:,.1f} reads/s ({rate*L/1e6:,.1f} "
+        f"Mbp/s), +CIGAR traceback {tb_rate:,.1f} reads/s (host, 2 cores), "
+        f"mapped {n_mapped/N:.4f}, locus-correct {n_close/N:.4f}, "
+        f"exact-pos {n_exact/B:.4f}"
     )
     del al, gi, fm
     assert n_mapped >= N * 0.97, f"long-read mapped {n_mapped}/{N}"
+    assert n_exact >= B * 0.97, f"long-read exact pos {n_exact}/{B}"
 
 
 def bench_sa(metrics):

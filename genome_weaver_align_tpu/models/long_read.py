@@ -253,17 +253,21 @@ class LongReadAligner:
             lmax = int(lengths[idx].max())
             Wb = lmax + 3 * kb2
             vcodes = np.zeros((S, lmax), dtype=np.int64)
-            wins = np.full((S, Wb), 4, dtype=np.int64)
             lens_s = lengths[idx].astype(np.int64)
             ws_all = pos[idx] - kb2
             for t, i in enumerate(idx):
                 l = int(lengths[i])
                 src = vrc_np if strand[i] else verify_fwd
                 vcodes[t, :l] = src[i, :l]
-                ws = int(ws_all[t])
-                s0 = max(0, ws)
-                seg = self.gi.fwd.extract(s0, min(self.fm.n, ws + Wb) - s0)
-                wins[t, s0 - ws : s0 - ws + seg.size] = seg
+            # ONE device gather for all traceback windows — the per-read
+            # host `extract` loop here was ~all of the batch wall time
+            # (256 x ~4.4 kbp packed-word decodes in Python)
+            wins = np.asarray(
+                window.gather_windows(
+                    self.text_words, self.fm.n,
+                    jnp.asarray(ws_all.astype(np.int32)), Wb,
+                )
+            ).astype(np.int64)
             sc, start, cig, nm = affine.affine_banded_batch(
                 vcodes, lens_s, wins, kb2
             )
