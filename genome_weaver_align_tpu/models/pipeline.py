@@ -313,11 +313,14 @@ class SuffixFilterAligner:
             best = suffix_filter.best_hit_compact(
                 rid_c, cp_c, dist_c, self.k, len(lengths)
             )
-            return (
-                np.asarray(best.best_pos),
-                np.asarray(best.best_dist),
-                np.asarray(best.n_good),
-                np.asarray(cands.overflow | ovf2),
+            # ONE transfer for all four results: each np.asarray is its own
+            # queue-sync round-trip (~30 ms over the tunnel), and this
+            # return sits inside the per-batch fallback tiers
+            import jax
+
+            return jax.device_get(
+                (best.best_pos, best.best_dist, best.n_good,
+                 cands.overflow | ovf2)
             )
         if self.verify_mode == "myers":
             nwords = (L + 31) // 32
@@ -342,11 +345,10 @@ class SuffixFilterAligner:
                 W,
             )
         best = suffix_filter.best_hit(cands.cand_pos, dist, self.k)
-        return (
-            np.asarray(best.best_pos),
-            np.asarray(best.best_dist),
-            np.asarray(best.n_good),
-            np.asarray(cands.overflow),
+        import jax
+
+        return jax.device_get(
+            (best.best_pos, best.best_dist, best.n_good, cands.overflow)
         )
 
     def align_batch(self, reads: list[Read]) -> list[ApproxHit | None]:
@@ -461,7 +463,9 @@ class SuffixFilterAligner:
                 jnp.asarray(np.where(mapped, cand, 0).astype(np.int32)),
                 self.k,
             )
-            ham, o_min = np.asarray(ham), np.asarray(o_min)
+            import jax
+
+            ham, o_min = jax.device_get((ham, o_min))  # one sync, not two
 
         # vectorised assembly: pure-substitution alignments (the fast path)
         # resolve entirely with array ops; only indel reads need traceback
