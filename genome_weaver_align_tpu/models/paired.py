@@ -114,12 +114,18 @@ class PairedAligner:
             wins,
             nwords,
         )
-        # drop the padding rows before host-side accept/traceback
-        d = np.asarray(d).astype(np.int64)[:J]
-        end = np.asarray(end).astype(np.int64)[:J]
+        import jax
+
+        # ONE transfer for the accept stats; the big window tensor is NOT
+        # downloaded at all (a (P, W) fetch was ~6.5 MB through the tunnel
+        # per batch — most of the rescue phase — only to slice narrow
+        # traceback bands on host)
+        d, end = jax.device_get((d, end))
+        d = d.astype(np.int64)[:J]
+        end = end.astype(np.int64)[:J]
+        own_w_all = own_w[:J]
         lens = lens[:J]
         codes = codes[:J]
-        wins_np = np.asarray(wins).astype(np.int64)[:J]
 
         max_k = np.maximum(self.al.k, lens // 20)  # permissive rescue bar
         ok = np.nonzero(d <= max_k)[0]
@@ -128,16 +134,32 @@ class PairedAligner:
             return out
         # narrow band around the Myers end column: alignment spans
         # [end - l - d, end], so a k'-band window starting at end - l - k'
-        # places the true start within slot range [k'-d, k'+d] ⊆ [0, 2k']
-        kp = max(1, int(d[ok].max()))
+        # places the true start within slot range [k'-d, k'+d] ⊆ [0, 2k'].
+        # The band is RE-GATHERED from the packed genome on device at
+        # absolute coordinates, with the same visibility rules as the big
+        # window (4 outside [0, own_w)).  k' is the STATIC accept bound
+        # (not max d of the cohort): every accepted read has d <= k', the
+        # traceback band no longer depends on who else was in the batch,
+        # and the gather keeps one compile shape per (bucket, lmax).
+        kp = max(1, self.al.k, lmax // 20)
         W2 = lmax + 3 * kp
         vcodes = codes[ok]
-        wins2 = np.full((ok.size, W2), 4, dtype=np.int64)
         ws2 = end[ok] - lens[ok] - kp  # local (big-window) coordinates
-        for t, j in enumerate(ok):
-            s0 = max(0, int(ws2[t]))
-            e0 = min(W, int(ws2[t]) + W2)
-            wins2[t, s0 - int(ws2[t]) : s0 - int(ws2[t]) + (e0 - s0)] = wins_np[j, s0:e0]
+        gstart = ws[ok] + ws2
+        G = max(256, 1 << (int(ok.size) - 1).bit_length())
+        gpad = np.concatenate([gstart, np.full(G - ok.size, gstart[0])])
+        col2 = np.arange(W2, dtype=np.int64)
+        local = ws2[:, None] + col2[None, :]
+        visible = (local >= 0) & (local < own_w_all[ok][:, None])
+        wins2_dev = window.gather_windows(
+            self.al.text_words,
+            self.al.fm.n,
+            jnp.asarray(gpad.astype(np.int32)),
+            W2,
+        )
+        wins2 = np.where(
+            visible, np.asarray(wins2_dev)[: ok.size].astype(np.int64), 4
+        )
         score, start, cigars, nm = affine.affine_banded_batch(
             vcodes, lens[ok], wins2, kp
         )
