@@ -484,7 +484,6 @@ class SuffixFilterAligner:
             lmax = int(lengths[slow_idx].max())
             Wb = lmax + 3 * self.k
             vcodes = np.zeros((S, lmax), dtype=np.int64)
-            wins = np.full((S, Wb), 4, dtype=np.int64)
             lens_s = np.empty(S, dtype=np.int64)
             for t, i in enumerate(slow_idx):
                 l = int(lengths[i])
@@ -500,10 +499,23 @@ class SuffixFilterAligner:
                 else:
                     vc = vsel[i]
                 vcodes[t, :l] = vc[:l]
-                ws = int(ws_all[i])
-                s0 = max(0, ws)
-                seg = self.gi.fwd.extract(s0, min(self.fm.n, ws + Wb) - s0)
-                wins[t, s0 - ws : s0 - ws + seg.size] = seg
+            # traceback windows in ONE device gather (out-of-range -> 4,
+            # same fill the old per-read host ``extract`` loop produced —
+            # which unpacked ~3k x 165 codes in Python per chr1 batch)
+            import jax.numpy as jnp
+
+            from ..ops import window as window_ops
+
+            G = max(128, 1 << (S - 1).bit_length())
+            gs = np.concatenate(
+                [ws_all[slow_idx], np.full(G - S, ws_all[slow_idx[0]])]
+            )
+            wins = np.asarray(
+                window_ops.gather_windows(
+                    self.text_words, self.fm.n,
+                    jnp.asarray(gs.astype(np.int32)), Wb,
+                )
+            )[:S].astype(np.int64)
             if self.scored:
                 # scored emission: the affine engine alone supplies
                 # CIGAR/POS/NM/AS; ``dist`` is already the banded edit
