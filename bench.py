@@ -938,6 +938,11 @@ def bench_gbp(metrics):
         rec = meta.get("measured")
         if rec:
             metrics.update(rec)
+            # provenance marker INSIDE the artifact (VERDICT r4 missing-#6):
+            # these keys were replayed from the last live `--only gbp` run,
+            # not measured by this execution
+            metrics["gbp_provenance"] = "recorded"
+            metrics["gbp_recorded_at"] = meta.get("measured_at", "?")
             log(
                 f"gbp multi-part (recorded by live run {meta.get('measured_at', '?')}): "
                 f"{rec.get('multi_part_1gbp_reads_per_s', 0):,.0f} reads/s"
@@ -958,6 +963,7 @@ def bench_gbp(metrics):
     metrics["multi_part_1gbp_mapped_frac"] = round(mapped_frac, 4)
     metrics["multi_part_1gbp_correct_frac"] = round(correct_frac, 4)
     metrics["multi_part_load_upload_s"] = round(load_s, 1)
+    metrics["gbp_provenance"] = "live"
     log(
         f"gbp multi-part: {rate:,.0f} reads/s (align; load+upload "
         f"{load_s:.0f}s once per part), mapped {mapped_frac:.4f}, "

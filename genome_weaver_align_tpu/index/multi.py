@@ -19,11 +19,10 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..utils.fasta import Contig
+from ..utils.larray import PART_LIMIT as PART_LIMIT_DEFAULT
 from ..utils.larray import check_device_indexable
 from .build import FMIndexData, build_fm_index
 from .files import Genome, GenomeIndex
-
-PART_LIMIT_DEFAULT = (1 << 31) - (1 << 20)  # int32 headroom
 
 
 @dataclass

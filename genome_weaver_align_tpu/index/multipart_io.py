@@ -204,11 +204,16 @@ def align_stream_multipart(
     from ..models.pipeline import SuffixFilterAligner
 
     N = reads.shape[0]
-    n_batches = N // batch
+    n_batches = -(-N // batch)  # a partial tail batch is padded, not dropped
+    padN = n_batches * batch
+    if padN != N:
+        reads = np.concatenate(
+            [reads, np.broadcast_to(reads[:1], (padN - N, reads.shape[1]))]
+        )
     INF = 1 << 20
-    best_dist = np.full(N, INF, np.int64)
-    best_gpos = np.full(N, np.int64(1) << 62, np.int64)
-    best_strand = np.zeros(N, np.int64)
+    best_dist = np.full(padN, INF, np.int64)
+    best_gpos = np.full(padN, np.int64(1) << 62, np.int64)
+    best_strand = np.zeros(padN, np.int64)
 
     align_s = 0.0
     load_s = 0.0
@@ -293,7 +298,7 @@ def align_stream_multipart(
     # ---- deferred tier-2: staircase rescue of the still-unmapped tail ----
     from ..index.files import GenomeIndex as _GI
 
-    un = np.nonzero(best_dist > k)[0]
+    un = np.nonzero(best_dist[:N] > k)[0]
     have_rev = all(
         (Path(mi.part_dir) / f"part{p}_rev.npz").exists()
         for p in range(mi.n_parts)
@@ -349,6 +354,9 @@ def align_stream_multipart(
             del al2, gi, rev
             gc.collect()
 
+    best_dist, best_gpos, best_strand = (
+        best_dist[:N], best_gpos[:N], best_strand[:N]
+    )
     mapped = best_dist <= k
     return best_dist, best_gpos, best_strand, mapped, align_s, load_s
 

@@ -247,9 +247,10 @@ class LongReadAligner:
             idx = np.nonzero(mapped)[0]
             S = idx.size
             # band half-width: the diagonal estimate is the cluster MINIMUM,
-            # so the true start sits up to `band` to its right (plus kb of
-            # sub-segment slack) — the affine band must cover that range
-            kb2 = self.kb + (self.band + 1) // 2
+            # so the true start sits up to the FULL `band` to its right (a
+            # stray hit can own the minimum) plus kb of sub-segment slack —
+            # the affine band must admit starts across that whole range
+            kb2 = self.kb + self.band
             lmax = int(lengths[idx].max())
             Wb = lmax + 3 * kb2
             vcodes = np.zeros((S, lmax), dtype=np.int64)

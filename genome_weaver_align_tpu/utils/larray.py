@@ -11,19 +11,26 @@ multiple sub-indexes (per chromosome group / per interval shard) — see
 
 from __future__ import annotations
 
-import numpy as np
+INT32_MAX = (1 << 31) - 1
 
-INT32_MAX = np.iinfo(np.int32).max
-
-
-def index_dtype(n: int):
-    """Smallest sufficient integer dtype for indices into an array of size n."""
-    return np.int32 if n <= INT32_MAX else np.int64
+# Hard per-part size cap.  Tighter than int32 by 2^20: the candidate machinery
+# uses NO_CAND = 2^31 - 2^20 (models/suffix_filter.py) as an
+# "invalid, sorts after every real diagonal" sentinel, so positions must stay
+# strictly below it.  A part with n in (2^31-2^20, 2^31) would be int32-legal
+# yet sort real candidates at/after the sentinel, silently displacing them —
+# enforcing the tighter bound here closes that window for every upload path.
+PART_LIMIT = (1 << 31) - (1 << 20)
 
 
 def check_device_indexable(n: int, what: str = "array") -> None:
-    if n > INT32_MAX:
+    """Reject sizes a single device index part cannot represent.
+
+    ``n`` counts elements including any sentinel slot (callers pass
+    ``codes.size + 1``).  The bound is PART_LIMIT, not int32-max — see above.
+    """
+    if n > PART_LIMIT:
         raise ValueError(
-            f"{what} has {n} elements > 2^31-1; split into sub-indexes "
-            "(see parallel.sharded_index) before uploading to device"
+            f"{what} has {n} elements > 2^31-2^20 (candidate-sentinel "
+            "headroom); split into sub-indexes (see parallel.sharded_index) "
+            "before uploading to device"
         )

@@ -30,6 +30,18 @@ FLAG_REVERSE = 0x10
 # stays exact for every read below the cap.
 X0_CAP = 8
 
+# XO:i:1 semantics (ADVICE r4 low, documented tradeoff): the flag marks
+# MULTIPLICITY truncation — some search budget (candidate slots, verify
+# lanes, staircase pool) overflowed while processing the read.  Since the
+# r4 tier-1 fallback reruns only overflowed reads that came back UNMAPPED,
+# an overflowed-but-mapped read keeps the hit found under the truncated
+# budget: that hit is a genuine alignment at the reported distance, but is
+# no longer guaranteed to be the budget-best (the pre-r4 strict-superset
+# rerun guaranteed that at ~2x the tier-1 cost).  Accuracy-sensitive
+# consumers should treat XO-flagged records' pos as "a best-effort hit
+# among >= X0 equally-plausible loci", which is how BWA's X0-capped
+# multi-mappers are conventionally read.
+
 
 @dataclass
 class SamRecord:
