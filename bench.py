@@ -956,13 +956,45 @@ def bench_gbp(metrics):
     # batch 4096: the fused step's verify temps scale ~B x max_cands x 16L
     # bytes and must fit beside 8.7 GB of part tables (8192 wedged the
     # allocator; measured, not theorized)
+    stats: dict = {}
+    dbg: dict = {}
     rate, mapped_frac, correct_frac, load_s = multipart_io.bench_align_stream(
-        mi, n_batches=8, batch=4_096, read_len=150, seed=29, log=log
+        mi, n_batches=8, batch=4_096, read_len=150, seed=29, log=log,
+        stats=stats, debug_out=dbg,
     )
+    # phase attribution (VERDICT r4 ask #1: attribute the align time before
+    # optimizing it) + a debug dump for offline correctness classification
+    bm = stats.get("batch_ms", [])
+    log(
+        "gbp phases: stream {s}s (batches min/med/max {mn:.0f}/{md:.0f}/"
+        "{mx:.0f} ms, tier1 {t1:.1f}s over {nov} reads), rescue "
+        "{r:.1f}s ({un} unmapped in, {res} improved), loads {ld}s "
+        "(rescue loads {rl:.1f}s)".format(
+            s=stats.get("stream_align_s"), mn=min(bm) if bm else 0,
+            md=sorted(bm)[len(bm) // 2] if bm else 0, mx=max(bm) if bm else 0,
+            t1=stats.get("tier1_ms", 0) / 1e3, nov=stats.get("n_overflow_rerun"),
+            r=stats.get("align_s", 0) - stats.get("stream_align_s", 0),
+            un=stats.get("un_before_rescue"), res=stats.get("rescued"),
+            ld=stats.get("load_s"), rl=stats.get("rescue_load_s", 0.0),
+        )
+    )
+    if dbg:
+        np.savez(
+            CACHE / "gbp_debug.npz",
+            dist=dbg["final"][0], gpos=dbg["final"][1], strand=dbg["final"][2],
+            pre_dist=dbg["pre_rescue"][0], pre_gpos=dbg["pre_rescue"][1],
+            pre_strand=dbg["pre_rescue"][2],
+            true_gpos=dbg["truth"][0], true_strand=dbg["truth"][1],
+            n_good=dbg["n_good"], overflow=dbg["overflow"],
+        )
     metrics["multi_part_1gbp_reads_per_s"] = round(rate, 1)
     metrics["multi_part_1gbp_mapped_frac"] = round(mapped_frac, 4)
     metrics["multi_part_1gbp_correct_frac"] = round(correct_frac, 4)
     metrics["multi_part_load_upload_s"] = round(load_s, 1)
+    metrics["multi_part_stream_align_s"] = stats.get("stream_align_s", 0.0)
+    metrics["multi_part_rescue_s"] = round(
+        stats.get("align_s", 0.0) - stats.get("stream_align_s", 0.0), 1
+    )
     metrics["gbp_provenance"] = "live"
     log(
         f"gbp multi-part: {rate:,.0f} reads/s (align; load+upload "
@@ -978,6 +1010,8 @@ def bench_gbp(metrics):
             "multi_part_1gbp_mapped_frac",
             "multi_part_1gbp_correct_frac",
             "multi_part_load_upload_s",
+            "multi_part_stream_align_s",
+            "multi_part_rescue_s",
         )
     }
     meta["measured_at"] = datetime.datetime.now().isoformat(timespec="seconds")

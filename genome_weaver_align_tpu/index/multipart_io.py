@@ -14,10 +14,24 @@ production-scale counterpart:
   the same deterministic (dist, global_pos, strand) order as
   ``index.multi.MultiIndexAligner`` — so the result is bit-identical to
   a hypothetical single-index run, while peak HBM stays one part's
-  footprint (measured ~5 GB/part at 1.6 Gbp, v5e has 16 GB).
+  footprint (measured ~8.7 GB/part at 1.6 Gbp, v5e has 16 GB).
+
+Two on-disk formats:
+
+- **npz** (``save_part``/``load_part``): the original layout; kept as the
+  build-time output and the fallback loader.  Loading pays npz copy +
+  ``unpackbits`` + BitVector reconstruction + ``from_host`` fusing —
+  ~70-260 s/part at 1.6 Gbp (VERDICT r4 missing-#4).
+- **flat** (``part{i}.flat/`` + manifest): DEVICE-READY raw arrays —
+  exactly what ``ops.rank.DeviceFMIndex`` holds — written once by
+  ``convert_part_to_flat`` (or a fresh build).  Loading is np.memmap +
+  jnp.asarray page-in/upload with ZERO host transformation, so a part
+  costs disk+PCIe/tunnel bandwidth only (~10-20 s), and a rescue pass
+  can load the FM tables WITHOUT the multi-GB seed table.
 
 Build entry point: ``scripts/build_gbp_index.py`` (offline, native SA-IS
-per part; records build times into ``gbp_meta.json`` for the bench).
+per part; records build times into ``gbp_meta.json`` for the bench);
+``scripts/convert_gbp_flat.py`` converts an existing npz part dir.
 """
 
 from __future__ import annotations
@@ -152,6 +166,258 @@ def load_rev(part_dir: Path, i: int) -> FMIndexData | None:
     )
 
 
+# ------------------------------------------------------------------ flat
+
+
+def _marks_to_device(mark_bits: np.ndarray, n_rows: int):
+    """np.packbits(bool marks) -> (mark_blocks (mb,4) u32, mark_cp (mb+1,) i32).
+
+    Vectorised twin of ``BitVector.__init__`` + the ``from_host`` reshape:
+    unpack big-endian bytes, repack LSB-first (little bitorder bytes -> LE
+    uint32 view IS the LSB-first-within-word layout the device kernels
+    read), then per-128-bit-block popcount checkpoints."""
+    bits = np.unpackbits(mark_bits)[:n_rows]
+    by = np.packbits(bits, bitorder="little")
+    pad = (-by.size) % 16  # 128-bit blocks
+    if pad or by.size == 0:
+        by = np.concatenate([by, np.zeros(max(pad, 16 - by.size), np.uint8)])
+    words = by.view("<u4")
+    mb = words.size // 4
+    pc = np.bitwise_count(words).astype(np.int64) if hasattr(np, "bitwise_count") else None
+    if pc is None:  # numpy < 2.0 fallback
+        from ..utils.packing import popcount32
+
+        pc = popcount32(words).astype(np.int64)
+    per_block = pc.reshape(mb, 4).sum(axis=1)
+    mark_cp = np.zeros(mb + 1, dtype=np.int32)
+    mark_cp[1:] = np.cumsum(per_block)
+    return words.reshape(mb, 4).copy(), mark_cp
+
+
+_FLAT_FILES = {
+    # name -> (filename, dtype); shapes recorded in the manifest
+    "blocks": ("fwd.blocks.bin", "uint32"),
+    "mark_blocks": ("fwd.mark_blocks.bin", "uint32"),
+    "mark_cp": ("fwd.mark_cp.bin", "int32"),
+    "ssa_values": ("fwd.ssa.bin", "int32"),
+    "text_words": ("text.bin", "uint32"),
+    "seed_offsets": ("seed_offsets.bin", "int32"),
+    "seed_positions": ("seed_positions.bin", "int32"),
+    "rev.blocks": ("rev.blocks.bin", "uint32"),
+    "rev.mark_blocks": ("rev.mark_blocks.bin", "uint32"),
+    "rev.mark_cp": ("rev.mark_cp.bin", "int32"),
+    "rev.ssa_values": ("rev.ssa.bin", "int32"),
+}
+
+
+def flat_dir(part_dir: Path, i: int) -> Path:
+    return Path(part_dir) / f"part{i}.flat"
+
+
+def _flat_write(d: Path, manifest: dict, name: str, arr: np.ndarray):
+    fname, dtype = _FLAT_FILES[name]
+    arr = np.ascontiguousarray(arr, dtype=np.dtype(dtype))
+    arr.tofile(d / fname)
+    manifest["arrays"][name] = {"dtype": dtype, "shape": list(arr.shape)}
+
+
+def convert_part_to_flat(part_dir: Path, i: int, log=lambda m: None) -> Path:
+    """One-time npz -> flat conversion of part i (+ its rev, if present).
+
+    Writes ``part{i}.flat/`` next to the npz; idempotent (skips if the
+    manifest already exists).  The flat arrays are byte-identical to what
+    ``rank.from_host(load_part(...).fwd)`` would upload — pinned by
+    tests/test_multipart_io.py::test_flat_matches_from_host."""
+    from ..ops.rank import fuse_blocks
+
+    part_dir = Path(part_dir)
+    d = flat_dir(part_dir, i)
+    if (d / "manifest.json").exists():
+        return d
+    d.mkdir(parents=True, exist_ok=True)
+    z = np.load(part_dir / f"part{i}.npz")
+    n = int(z["n"])
+    manifest = {
+        "version": 1,
+        "n": n,
+        "primary": int(z["primary"]),
+        "sample_rate": int(z["sample_rate"]),
+        "C": [int(x) for x in z["C"]],
+        "counts": [int(x) for x in z["counts"]],
+        "seed_j": int(z["seed_j"]),
+        "global_offset": int(z["global_offset"]),
+        "names": [str(s) for s in z["names"]],
+        "lengths": [int(x) for x in z["lengths"]],
+        "arrays": {},
+    }
+    t0 = time.time()
+    _flat_write(d, manifest, "blocks", fuse_blocks(z["bwt_words"], z["occ_cp_i32"]))
+    mb_arr, mcp = _marks_to_device(z["mark_bits"], n + 1)
+    _flat_write(d, manifest, "mark_blocks", mb_arr)
+    _flat_write(d, manifest, "mark_cp", mcp)
+    _flat_write(d, manifest, "ssa_values", z["ssa_values_i32"])
+    _flat_write(d, manifest, "text_words", z["text_words"])
+    _flat_write(d, manifest, "seed_offsets", z["seed_offsets"])
+    _flat_write(d, manifest, "seed_positions", z["seed_positions"])
+    del z
+    gc.collect()
+
+    rp = part_dir / f"part{i}_rev.npz"
+    if rp.exists():
+        zr = np.load(rp)
+        rn = int(zr["n"])
+        manifest["rev"] = {
+            "n": rn,
+            "primary": int(zr["primary"]),
+            "sample_rate": int(zr["sample_rate"]),
+            "C": [int(x) for x in zr["C"]],
+        }
+        _flat_write(d, manifest, "rev.blocks", fuse_blocks(zr["bwt_words"], zr["occ_cp_i32"]))
+        mb_arr, mcp = _marks_to_device(zr["mark_bits"], rn + 1)
+        _flat_write(d, manifest, "rev.mark_blocks", mb_arr)
+        _flat_write(d, manifest, "rev.mark_cp", mcp)
+        _flat_write(d, manifest, "rev.ssa_values", zr["ssa_values_i32"])
+        del zr
+        gc.collect()
+    (d / "manifest.json").write_text(json.dumps(manifest))
+    log(f"part {i}: flat conversion in {time.time()-t0:.1f}s -> {d}")
+    return d
+
+
+def _flat_mmap(d: Path, manifest: dict, name: str) -> np.ndarray:
+    fname, _ = _FLAT_FILES[name]
+    spec = manifest["arrays"][name]
+    return np.memmap(
+        d / fname, dtype=np.dtype(spec["dtype"]), mode="r",
+        shape=tuple(spec["shape"]),
+    )
+
+
+@dataclass
+class FlatPart:
+    """One flat part's device-resident tables + host metadata."""
+
+    fm: object  # DeviceFMIndex (real, or dummy tables when want_fm=False —
+    # the seed streaming path reads only fm.n / fm.C, never the FM arrays)
+    text_words: object  # device (nw,) uint32
+    seed_tab: tuple | None  # (offsets, positions) on device
+    genome: object  # index.files.Genome (names/offsets, empty codes)
+    n: int
+    seed_j: int
+    global_offset: int
+    has_rev: bool
+
+
+def load_part_flat(
+    part_dir: Path, i: int, *, want_seed: bool = True, want_fm: bool = True
+) -> FlatPart:
+    """Memmap + upload one flat part.  ``want_fm=False`` uploads 1-row dummy
+    FM tables (the seed-path streaming step never gathers from them) —
+    saves ~2 GB of upload per part; ``want_seed=False`` skips the multi-GB
+    seed table (rescue passes need FM + text only)."""
+    import jax.numpy as jnp
+
+    from ..ops import rank
+    from .files import Genome, GenomeIndex  # noqa: F401 (Genome used below)
+
+    d = flat_dir(part_dir, i)
+    manifest = json.loads((d / "manifest.json").read_text())
+    n = manifest["n"]
+    C = np.asarray(manifest["C"], np.int64)
+    if want_fm:
+        fm = rank.from_arrays(
+            blocks=_flat_mmap(d, manifest, "blocks"),
+            C=C,
+            primary=manifest["primary"],
+            mark_blocks=_flat_mmap(d, manifest, "mark_blocks"),
+            mark_cp=_flat_mmap(d, manifest, "mark_cp"),
+            ssa_values=_flat_mmap(d, manifest, "ssa_values"),
+            n=n,
+            sample_rate=manifest["sample_rate"],
+        )
+    else:
+        fm = rank.from_arrays(
+            blocks=np.zeros((1, 12), np.uint32),
+            C=C,
+            primary=manifest["primary"],
+            mark_blocks=np.zeros((1, 4), np.uint32),
+            mark_cp=np.zeros(2, np.int32),
+            ssa_values=np.zeros(1, np.int32),
+            n=n,
+            sample_rate=manifest["sample_rate"],
+        )
+    text = jnp.asarray(_flat_mmap(d, manifest, "text_words"))
+    seed = None
+    if want_seed:
+        seed = (
+            jnp.asarray(_flat_mmap(d, manifest, "seed_offsets")),
+            jnp.asarray(_flat_mmap(d, manifest, "seed_positions")),
+        )
+    lengths = np.asarray(manifest["lengths"], np.int64)
+    offsets = np.zeros(lengths.size + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    genome = Genome(
+        names=list(manifest["names"]),
+        offsets=offsets,
+        codes=np.zeros(0, dtype=np.uint8),
+        n_mask_spans=np.zeros((0, 2), np.int64),
+    )
+    return FlatPart(
+        fm=fm,
+        text_words=text,
+        seed_tab=seed,
+        genome=genome,
+        n=n,
+        seed_j=manifest["seed_j"],
+        global_offset=manifest["global_offset"],
+        has_rev="rev" in manifest,
+    )
+
+
+def load_rev_flat(part_dir: Path, i: int):
+    """DeviceFMIndex of part i's reverse text from the flat layout, or None."""
+    from ..ops import rank
+
+    d = flat_dir(part_dir, i)
+    manifest = json.loads((d / "manifest.json").read_text())
+    if "rev" not in manifest:
+        return None
+    r = manifest["rev"]
+    return rank.from_arrays(
+        blocks=_flat_mmap(d, manifest, "rev.blocks"),
+        C=np.asarray(r["C"], np.int64),
+        primary=r["primary"],
+        mark_blocks=_flat_mmap(d, manifest, "rev.mark_blocks"),
+        mark_cp=_flat_mmap(d, manifest, "rev.mark_cp"),
+        ssa_values=_flat_mmap(d, manifest, "rev.ssa_values"),
+        n=r["n"],
+        sample_rate=r["sample_rate"],
+    )
+
+
+def has_flat(part_dir: Path, n_parts: int) -> bool:
+    return all(
+        (flat_dir(part_dir, p) / "manifest.json").exists() for p in range(n_parts)
+    )
+
+
+def _warm_pagecache(paths):
+    """Sequentially read files so the OS page cache holds them before the
+    serialized memmap upload — overlaps the NEXT part's disk IO with the
+    CURRENT part's align stream (2-core box: cheap thread, pure IO)."""
+    buf = bytearray(64 << 20)
+    for p in paths:
+        try:
+            with open(p, "rb", buffering=0) as f:
+                while f.readinto(memoryview(buf)):
+                    pass
+        except OSError:
+            return
+
+
+# ------------------------------------------------------------ streaming
+
+
 @dataclass
 class MultiPartIndex:
     part_dir: Path
@@ -172,6 +438,74 @@ def load_multi_index(part_dir: Path) -> MultiPartIndex:
     )
 
 
+def _part_budgets(n: int, seed_j: int) -> tuple[int, int]:
+    """(max_hits, max_cands) scaled to part size — see the r4 notes below.
+
+    Budgets scale with part size: the mean j-mer bucket holds n/4^j
+    positions (~24 at 1.6 Gbp, j=13), so the 230 Mbp defaults (8/12)
+    would flood EVERY read into the 16x tier-1 rerun.  The verify cap
+    stays tight because verify temps are O(B * max_cands * 16L) bytes
+    next to 8.7 GB of tables (XLA OOM at 70 cands x 16k, measured)."""
+    mean_bucket = n / 4**seed_j
+    max_hits = max(8, min(64, int(1.5 * mean_bucket)))
+    max_cands = max(12, min(32, 2 * max_hits))
+    return max_hits, max_cands
+
+
+class _Best:
+    """Per-read running best with the deterministic (dist, global_pos,
+    strand) improve-merge order of ``index.multi.MultiIndexAligner``."""
+
+    INF = 1 << 20
+
+    def __init__(self, n: int):
+        self.dist = np.full(n, self.INF, np.int64)
+        self.gpos = np.full(n, np.int64(1) << 62, np.int64)
+        self.strand = np.zeros(n, np.int64)
+        self.n_good = np.zeros(n, np.int64)
+        self.overflow = np.zeros(n, bool)
+
+    def merge(self, rows, ah, goff, m=None):
+        """Improve-merge batch results ``ah`` (ArrayHits) at ``rows``."""
+        m = len(rows) if m is None else m
+        d = np.where(ah.mapped[:m], ah.dist[:m], self.INF)
+        g = np.where(ah.mapped[:m], ah.pos[:m] + goff, np.int64(1) << 62)
+        st = ah.strand[:m]
+        cur_d, cur_g, cur_s = self.dist[rows], self.gpos[rows], self.strand[rows]
+        better = (d < cur_d) | (
+            (d == cur_d) & ((g < cur_g) | ((g == cur_g) & (st < cur_s)))
+        )
+        self.dist[rows] = np.where(better, d, cur_d)
+        self.gpos[rows] = np.where(better, g, cur_g)
+        self.strand[rows] = np.where(better, st, cur_s)
+        self.n_good[rows] = np.where(better, ah.n_good[:m], self.n_good[rows])
+        self.overflow[rows] |= np.asarray(ah.overflow[:m], bool)
+        return better
+
+
+def _rescue_with(al2, reads, un, best: "_Best", goff: int, L: int, chunk=2048):
+    """Staircase-rescue the reads at indices ``un`` against one part,
+    improve-merging into ``best``.  Chunks are pipelined (submit N+1
+    before finishing N) so device work overlaps host merge."""
+    def submit(ch):
+        P = chunk if un.size > chunk else max(
+            128, 1 << (int(ch.size) - 1).bit_length()
+        )
+        sel = np.concatenate([ch, np.full(P - ch.size, ch[0], ch.dtype)])
+        return al2.align_arrays_submit(reads[sel], np.full(P, L, np.int32))
+
+    chunks = [un[o : o + chunk] for o in range(0, un.size, chunk)]
+    n_rescued = 0
+    pending = submit(chunks[0])
+    for ci, ch in enumerate(chunks):
+        nxt = submit(chunks[ci + 1]) if ci + 1 < len(chunks) else None
+        ah = al2.align_arrays_finish(pending)
+        pending = nxt
+        better = best.merge(ch, ah, goff, m=ch.size)
+        n_rescued += int(better.sum())
+    return n_rescued
+
+
 def align_stream_multipart(
     mi: MultiPartIndex,
     reads: np.ndarray,  # (N, L) int8 forward verify codes
@@ -179,6 +513,8 @@ def align_stream_multipart(
     batch: int,
     k: int = 2,
     log=lambda m: None,
+    stats: dict | None = None,
+    debug_out: dict | None = None,
 ):
     """Align every read against every part, improve-merging per-read bests.
 
@@ -189,20 +525,29 @@ def align_stream_multipart(
     disk-load + HBM upload total, reported separately because it is a
     once-per-part cost that amortizes over the WHOLE read stream (a
     production run streams millions of reads per part; a bench that folds
-    ~7 min of one-time load into a 4-batch stream would measure the disk,
-    not the aligner).
+    one-time load into a short stream would measure the disk, not the
+    aligner).  Pass ``stats`` (a dict) to receive per-phase attribution:
+    batch times, tier-1/tier-2 ms, rescue split (VERDICT r4 ask #1).
 
     Streaming passes run seed+tier-1 only.  The staircase completeness
     backstop (tier-2) is DEFERRED to a final rescue pass over the reads
     still unmapped after the cross-part merge — during streaming, a read
     whose locus lives in another part is indistinguishable from a
     repeat-flooded one, so per-part tier-2 would staircase ~half of every
-    batch for nothing.  The rescue needs per-part reverse indexes
-    (scripts/build_gbp_rev.py); without them it is skipped."""
+    batch for nothing.  The LAST part's rescue runs while its tables are
+    still HBM-resident (the seed table is dropped first to make room for
+    the reverse index); earlier parts reload FM+rev only — with the flat
+    layout that is ~3.5 GB instead of a full 8.7 GB part reload.
+
+    The rescue needs per-part reverse indexes (scripts/build_gbp_rev.py);
+    without them it is skipped."""
     import jax
 
+    from ..index.files import GenomeIndex as _GI
     from ..models.pipeline import SuffixFilterAligner
 
+    if stats is None:
+        stats = {}
     N = reads.shape[0]
     n_batches = -(-N // batch)  # a partial tail batch is padded, not dropped
     padN = n_batches * batch
@@ -210,16 +555,166 @@ def align_stream_multipart(
         reads = np.concatenate(
             [reads, np.broadcast_to(reads[:1], (padN - N, reads.shape[1]))]
         )
-    INF = 1 << 20
-    best_dist = np.full(padN, INF, np.int64)
-    best_gpos = np.full(padN, np.int64(1) << 62, np.int64)
-    best_strand = np.zeros(padN, np.int64)
-
+    best = _Best(padN)
+    L = reads.shape[1]
+    flat = has_flat(mi.part_dir, mi.n_parts)
+    stats["format"] = "flat" if flat else "npz"
+    stats["batch_ms"] = []
+    stats["tier1_ms"] = 0.0
+    stats["n_overflow_rerun"] = 0
     align_s = 0.0
     load_s = 0.0
+    last = mi.n_parts - 1
+
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(1)
+
+    def _stream_part(al, goff, p):
+        nonlocal align_s
+        t0 = time.time()
+
+        def submit(b):
+            return al.align_arrays_submit(
+                reads[b * batch : (b + 1) * batch], lengths_row
+            )
+
+        pending = submit(0)
+        for b in range(n_batches):
+            tb = time.time()
+            nxt = submit(b + 1) if b + 1 < n_batches else None
+            ah = al.align_arrays_finish(pending)
+            pending = nxt
+            dt = (time.time() - tb) * 1e3
+            stats["batch_ms"].append(round(dt, 1))
+            stats["tier1_ms"] += al.last_stats.get("t_tier1_ms", 0.0)
+            stats["n_overflow_rerun"] += al.last_stats.get(
+                "n_overflow_fallback", 0
+            )
+            log(f"part {p} batch {b}: {dt:.0f} ms, stats={al.last_stats}")
+            sl = np.arange(b * batch, (b + 1) * batch)
+            best.merge(sl, ah, goff)
+        align_s += time.time() - t0
+
+    # ---------------------------- flat path ----------------------------
+    if flat:
+        rescue_planned = all(
+            "rev" in json.loads(
+                (flat_dir(mi.part_dir, p) / "manifest.json").read_text()
+            )
+            for p in range(mi.n_parts)
+        )
+        warm = pool.submit(
+            _warm_pagecache, sorted(flat_dir(mi.part_dir, 0).glob("*.bin"))
+        )
+        for p in range(mi.n_parts):
+            tp = time.time()
+            warm.result()
+            # rescue for the LAST part runs in-place, so it needs real FM
+            want_fm = rescue_planned and p == last
+            fp = load_part_flat(mi.part_dir, p, want_seed=True, want_fm=want_fm)
+            max_hits, max_cands = _part_budgets(fp.n, fp.seed_j)
+            al = SuffixFilterAligner(
+                _GI(fp.genome, None, None), k=k,
+                max_hits_per_piece=max_hits, max_cands=max_cands,
+                verify_slack=4,
+                device_tables={"fm": fp.fm, "text": fp.text_words},
+            )
+            al.seed_tab = fp.seed_tab
+            al.seed_j = fp.seed_j
+            jax.block_until_ready(
+                (fp.text_words, fp.seed_tab)
+                + ((fp.fm.blocks,) if want_fm else ())
+            )
+            if p + 1 < mi.n_parts:
+                warm = pool.submit(
+                    _warm_pagecache,
+                    sorted(flat_dir(mi.part_dir, p + 1).glob("*.bin")),
+                )
+            dt = time.time() - tp
+            load_s += dt
+            log(
+                f"part {p}: flat load+upload in {dt:.1f}s "
+                f"(n={fp.n}, max_hits={max_hits}, max_cands={max_cands})"
+            )
+            _stream_part(al, fp.global_offset, p)
+            if p != last:
+                del al, fp
+                gc.collect()
+        stats["stream_align_s"] = round(align_s, 1)
+
+        if debug_out is not None:
+            debug_out["pre_rescue"] = (
+                best.dist[:N].copy(), best.gpos[:N].copy(),
+                best.strand[:N].copy(),
+            )
+
+        # ---- deferred tier-2: staircase rescue, last part resident ----
+        un = np.nonzero(best.dist[:N] > k)[0]
+        stats["un_before_rescue"] = int(un.size)
+        stats["rescued"] = 0
+        if un.size and rescue_planned:
+            # drop the seed table BEFORE uploading the reverse index: the
+            # two together with the FM tables exceed one v5e's HBM
+            al.seed_tab = None
+            fp.seed_tab = None
+            gc.collect()
+            tp = time.time()
+            rev = load_rev_flat(mi.part_dir, last)
+            al2 = SuffixFilterAligner(
+                _GI(fp.genome, None, None), k=k, max_hits_per_piece=8,
+                use_staircase=True, verify_slack=16, overflow_fallback=False,
+                staircase_slots=64,
+                device_tables={"fm": fp.fm, "text": fp.text_words, "rev": rev},
+            )
+            jax.block_until_ready((rev.blocks, rev.ssa_values))
+            load_s += time.time() - tp
+            stats.setdefault("rescue_load_s", 0.0)
+            stats["rescue_load_s"] += time.time() - tp
+            t0 = time.time()
+            n_r = _rescue_with(al2, reads, un, best, fp.global_offset, L)
+            align_s += time.time() - t0
+            stats["rescued"] += n_r
+            log(
+                f"rescue part {last} (resident): {un.size} unmapped reads "
+                f"in {time.time()-t0:.1f}s, improved {n_r}"
+            )
+            del al, al2, fp, rev
+            gc.collect()
+            for p in range(mi.n_parts - 1):
+                tp = time.time()
+                fp = load_part_flat(
+                    mi.part_dir, p, want_seed=False, want_fm=True
+                )
+                rev = load_rev_flat(mi.part_dir, p)
+                al2 = SuffixFilterAligner(
+                    _GI(fp.genome, None, None), k=k, max_hits_per_piece=8,
+                    use_staircase=True, verify_slack=16,
+                    overflow_fallback=False, staircase_slots=64,
+                    device_tables={
+                        "fm": fp.fm, "text": fp.text_words, "rev": rev
+                    },
+                )
+                jax.block_until_ready((fp.fm.blocks, rev.blocks))
+                load_s += time.time() - tp
+                stats["rescue_load_s"] += time.time() - tp
+                t0 = time.time()
+                n_r = _rescue_with(al2, reads, un, best, fp.global_offset, L)
+                align_s += time.time() - t0
+                stats["rescued"] += n_r
+                log(
+                    f"rescue part {p}: {un.size} unmapped reads in "
+                    f"{time.time()-t0:.1f}s, improved {n_r}"
+                )
+                del al2, fp, rev
+                gc.collect()
+        elif p == last:
+            del al, fp
+            gc.collect()
+        pool.shutdown(wait=False)
+        return _finish(best, N, k, align_s, load_s, stats, debug_out)
+
+    # ----------------------------- npz path ----------------------------
     nxt_part = pool.submit(load_part, mi.part_dir, 0)
     for p in range(mi.n_parts):
         tp = time.time()
@@ -229,29 +724,13 @@ def align_stream_multipart(
         gi, seed_tab, seed_j, goff = nxt_part.result()
         if p + 1 < mi.n_parts:
             nxt_part = pool.submit(load_part, mi.part_dir, p + 1)
-        # Budgets scale with part size: the mean j-mer bucket holds
-        # n/4^j positions (~24 at 1.6 Gbp, j=13), so the 230 Mbp defaults
-        # (8/12) would flood EVERY read into the 16x tier-1 rerun — the
-        # fallback would become the primary path at 2x the cost.  Rare-probe
-        # selection keeps most reads well under the mean, hence 1.5x mean
-        # rather than several-x.
-        mean_bucket = gi.fwd.n / 4**seed_j
-        max_hits = max(8, min(64, int(1.5 * mean_bucket)))
-        # verify-set cap stays tight: the verify stage materializes
-        # O(B * max_cands * L * 16) bytes of window/DP temps — 70 cands at
-        # B=16k compiled to a 2x10 GB HLO temp next to 8.7 GB of tables
-        # (XLA OOM, measured).  Rare-probe selection keeps the real cand
-        # count far below 2*max_hits: 3 pieces' rarest probes are ~<=10
-        # hits each at 1.6 Gbp, so 32 slots hold the deduped union for all
-        # but flooded reads (which carry the overflow flag either way).
-        max_cands = max(12, min(32, 2 * max_hits))
+        max_hits, max_cands = _part_budgets(gi.fwd.n, seed_j)
         al = SuffixFilterAligner(
             gi, k=k, max_hits_per_piece=max_hits, seed_table=seed_tab,
             seed_j=seed_j, max_cands=max_cands, verify_slack=4,
         )
-        # jnp.asarray uploads are async: force the 8.7 GB of tables onto the
-        # device INSIDE the load window, or the transfer bills to batch 0
-        # (measured: 235 s of "align" time that was really the upload)
+        # jnp.asarray uploads are async: force the tables onto the device
+        # INSIDE the load window, or the transfer bills to batch 0
         jax.block_until_ready(
             (al.fm.blocks, al.fm.mark_blocks, al.fm.ssa_values,
              al.text_words, al.seed_tab)
@@ -261,50 +740,29 @@ def align_stream_multipart(
             f"part {p}: loaded+uploaded in {time.time()-tp:.1f}s "
             f"(n={gi.fwd.n}, max_hits={max_hits}, max_cands={max_cands})"
         )
-        t0 = time.time()
-
-        def submit(b):
-            return al.align_arrays_submit(reads[b * batch : (b + 1) * batch], lengths_row)
-
-        pending = submit(0)
-        for b in range(n_batches):
-            tb = time.time()
-            nxt = submit(b + 1) if b + 1 < n_batches else None
-            ah = al.align_arrays_finish(pending)
-            pending = nxt
-            log(f"part {p} batch {b}: {(time.time()-tb)*1e3:.0f} ms, stats={al.last_stats}")
-            sl = slice(b * batch, (b + 1) * batch)
-            d = np.where(ah.mapped, ah.dist, INF)
-            g = np.where(ah.mapped, ah.pos + goff, np.int64(1) << 62)
-            st = ah.strand
-            # deterministic improve-merge: (dist, global_pos, strand)
-            cur = (best_dist[sl], best_gpos[sl], best_strand[sl])
-            better = (d < cur[0]) | (
-                (d == cur[0])
-                & ((g < cur[1]) | ((g == cur[1]) & (st < cur[2])))
-            )
-            best_dist[sl] = np.where(better, d, cur[0])
-            best_gpos[sl] = np.where(better, g, cur[1])
-            best_strand[sl] = np.where(better, st, cur[2])
-        align_s += time.time() - t0
-        # ``submit`` closes over ``al`` — deleting only the names would keep
-        # the part's ~GB device tables alive through the NEXT part's upload
-        # (two parts > one v5e HBM: the run wedges inside the runtime's
-        # allocation retry, found the hard way at 2x8.67 GB)
-        del al, gi, seed_tab, submit, pending
-        gc.collect()  # drop this part's device buffers before the next upload
+        _stream_part(al, goff, p)
+        # the submit closure in _stream_part closes over ``al`` — drop every
+        # reference before the next part's upload (two parts of device
+        # tables > one v5e HBM: the run wedges inside allocation retry)
+        del al, gi, seed_tab
+        gc.collect()
     pool.shutdown(wait=False)
+    stats["stream_align_s"] = round(align_s, 1)
+
+    if debug_out is not None:
+        debug_out["pre_rescue"] = (
+            best.dist[:N].copy(), best.gpos[:N].copy(), best.strand[:N].copy()
+        )
 
     # ---- deferred tier-2: staircase rescue of the still-unmapped tail ----
-    from ..index.files import GenomeIndex as _GI
-
-    un = np.nonzero(best_dist[:N] > k)[0]
+    un = np.nonzero(best.dist[:N] > k)[0]
+    stats["un_before_rescue"] = int(un.size)
+    stats["rescued"] = 0
     have_rev = all(
         (Path(mi.part_dir) / f"part{p}_rev.npz").exists()
         for p in range(mi.n_parts)
     )
     if un.size and have_rev:
-        L = reads.shape[1]
         for p in range(mi.n_parts):
             tp = time.time()
             gi, _seed, _j, goff = load_part(mi.part_dir, p)
@@ -323,47 +781,37 @@ def align_stream_multipart(
                 (al2.fm.blocks, al2.bi.rev.blocks, al2.text_words)
             )
             load_s += time.time() - tp
+            stats.setdefault("rescue_load_s", 0.0)
+            stats["rescue_load_s"] += time.time() - tp
             t0 = time.time()
-            CH = 2048
-            for o in range(0, un.size, CH):
-                ch = un[o : o + CH]
-                P = CH if un.size > CH else max(
-                    128, 1 << (int(ch.size) - 1).bit_length()
-                )
-                sel = np.concatenate([ch, np.full(P - ch.size, ch[0], ch.dtype)])
-                ah = al2.align_arrays_finish(
-                    al2.align_arrays_submit(reads[sel], np.full(P, L, np.int32))
-                )
-                m = ch.size
-                d = np.where(ah.mapped[:m], ah.dist[:m], 1 << 20)
-                g = np.where(ah.mapped[:m], ah.pos[:m] + goff, np.int64(1) << 62)
-                st = ah.strand[:m]
-                cur = (best_dist[ch], best_gpos[ch], best_strand[ch])
-                better = (d < cur[0]) | (
-                    (d == cur[0])
-                    & ((g < cur[1]) | ((g == cur[1]) & (st < cur[2])))
-                )
-                best_dist[ch] = np.where(better, d, cur[0])
-                best_gpos[ch] = np.where(better, g, cur[1])
-                best_strand[ch] = np.where(better, st, cur[2])
+            n_r = _rescue_with(al2, reads, un, best, goff, L)
             align_s += time.time() - t0
+            stats["rescued"] += n_r
             log(
                 f"rescue part {p}: staircase over {un.size} unmapped reads "
-                f"in {time.time()-t0:.1f}s"
+                f"in {time.time()-t0:.1f}s, improved {n_r}"
             )
             del al2, gi, rev
             gc.collect()
 
-    best_dist, best_gpos, best_strand = (
-        best_dist[:N], best_gpos[:N], best_strand[:N]
-    )
-    mapped = best_dist <= k
-    return best_dist, best_gpos, best_strand, mapped, align_s, load_s
+    return _finish(best, N, k, align_s, load_s, stats, debug_out)
+
+
+def _finish(best: _Best, N: int, k: int, align_s, load_s, stats, debug_out):
+    if debug_out is not None:
+        debug_out["n_good"] = best.n_good[:N].copy()
+        debug_out["overflow"] = best.overflow[:N].copy()
+        debug_out["stats"] = stats
+    stats["align_s"] = round(align_s, 1)
+    stats["load_s"] = round(load_s, 1)
+    dist, gpos, strand = best.dist[:N], best.gpos[:N], best.strand[:N]
+    mapped = dist <= k
+    return dist, gpos, strand, mapped, align_s, load_s
 
 
 def bench_align_stream(
     mi: MultiPartIndex, n_batches: int, batch: int, read_len: int, seed: int,
-    log=lambda m: None,
+    log=lambda m: None, stats: dict | None = None, debug_out: dict | None = None,
 ):
     """Bench driver: loads the prebuilt paired-style read stream (written by
     scripts/build_gbp_index.py next to the parts) and aligns it through the
@@ -377,9 +825,13 @@ def bench_align_stream(
     # warmup/compile on one batch (first part only costs the jit once; the
     # per-part loop reuses the same executable shapes)
     dist, gpos, strand, mapped, align_s, load_s = align_stream_multipart(
-        mi, reads, lengths_row, batch, log=log
+        mi, reads, lengths_row, batch, log=log, stats=stats,
+        debug_out=debug_out,
     )
     rate = N / align_s
     log(f"multi-part: align {align_s:.1f}s, part load+upload {load_s:.1f}s")
     correct = mapped & (gpos == true_gpos[:N]) & (strand == true_strand[:N])
+    if debug_out is not None:
+        debug_out["final"] = (dist, gpos, strand)
+        debug_out["truth"] = (true_gpos[:N], true_strand[:N])
     return rate, float(mapped.mean()), float(correct.mean()), load_s

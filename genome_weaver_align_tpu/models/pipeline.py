@@ -218,6 +218,11 @@ class SuffixFilterAligner:
         # 16 fits the measured live fraction on chr20-scale repeat cohorts
         # (mean 0.5% of 64); very-high-copy families (Gbp multipart rescue)
         # branch wider — pass 64 there, the rescue cohort is tiny
+        device_tables: dict | None = None,  # pre-uploaded tables (flat
+        # multi-part layout, index.multipart_io.load_part_flat): keys
+        # "fm" (DeviceFMIndex), "text" (packed text words on device),
+        # optional "rev" (DeviceFMIndex, staircase).  When given, gi.fwd /
+        # gi.rev may be None — the aligner never touches host FM data.
     ):
         import jax.numpy as jnp
 
@@ -225,8 +230,12 @@ class SuffixFilterAligner:
         self.k = k
         self.n_pieces = k + 1
         self.max_hits = max_hits_per_piece
-        self.fm = rank.from_host(gi.fwd)
-        self.text_words = jnp.asarray(gi.fwd.text_words)
+        if device_tables is not None:
+            self.fm = device_tables["fm"]
+            self.text_words = device_tables["text"]
+        else:
+            self.fm = rank.from_host(gi.fwd)
+            self.text_words = jnp.asarray(gi.fwd.text_words)
         self.use_staircase = use_staircase
         self.verify_mode = verify_mode
         self.kmer_tab = None
@@ -252,7 +261,10 @@ class SuffixFilterAligner:
         if use_staircase:
             from . import bidirectional as bd
 
-            self.bi = bd.from_host_bi(gi.fwd, gi.rev)
+            if device_tables is not None and device_tables.get("rev") is not None:
+                self.bi = bd.DeviceBiIndex(self.fm, device_tables["rev"])
+            else:
+                self.bi = bd.from_host_bi(gi.fwd, gi.rev)
 
     def _strand_pass(self, search_reads, verify_reads, lengths):
         """One strand: candidates -> verify -> per-read best (device)."""
@@ -378,8 +390,27 @@ class SuffixFilterAligner:
         import jax.numpy as jnp
 
         L = verify_fwd.shape[1]
-        uniform = bool(np.all(lengths == L)) and not self.use_staircase
+        uniform = bool(np.all(lengths == L))
 
+        if uniform and self.use_staircase:
+            # fused tier-2 (VERDICT r4 ask #3): the whole staircase finish —
+            # device RC, strand-stacked staircase filter, compact verify,
+            # cross-strand best, fast-CIGAR hamming — in ONE jit with one
+            # download.  The general path below costs two dispatch
+            # round-trips plus host revcomp per call; on the tunnelled TPU
+            # those are ~30 ms each and sit inside every fallback tier.
+            out_dev = fused_staircase_step(
+                self.bi,
+                self.text_words,
+                jnp.asarray(verify_fwd.astype(np.int8)),
+                jnp.asarray(lengths),
+                k=self.k,
+                W=L + 3 * self.k,
+                n_slots=self.staircase_slots,
+                max_hits=self.max_hits,
+                verify_slack=self.verify_slack,
+            )
+            return ("uniform", lengths, verify_fwd, out_dev)
         if uniform:
             # fast path: ONE jit call, one int8 upload, device-side RC
             min_piece = L // self.n_pieces
@@ -936,3 +967,82 @@ def fused_align_step(fm, text_words, kmer_tab, seed_tab, verify_fwd, lengths, **
             partial(_fused_align_step_impl, **static)
         )
     return _fused_cache[key](fm, text_words, kmer_tab, seed_tab, verify_fwd, lengths)
+
+
+def _fused_staircase_step_impl(
+    bi, text_words, verify_fwd, lengths, *, k, W, n_slots, max_hits,
+    verify_slack,
+):
+    """Whole staircase (tier-2) step in one jit: device RC, BOTH strands
+    stacked into one 2B-lane staircase pass (the staircase is depth-bound,
+    so stacking halves the sequential pass count — VERDICT r3 weak-#4),
+    compact verify, cross-strand best, fast-CIGAR hamming.  Packing is
+    identical to ``_fused_align_step_impl`` so the finish path is shared."""
+    import jax.numpy as jnp
+
+    from ..ops import dp as dp_ops
+    from . import staircase
+
+    INF = dp_ops.INF
+    B = verify_fwd.shape[0]
+    vf = verify_fwd
+    vrc = jnp.where(vf < 4, 3 - vf, vf)[:, ::-1]
+    v2 = jnp.concatenate([vf, vrc], axis=0)
+    search2 = jnp.where(v2 >= 4, 0, v2).astype(jnp.int32)
+    lengths2 = jnp.concatenate([lengths, lengths], axis=0)
+
+    cands = staircase.staircase_filter_candidates(
+        bi, search2, lengths2, k, n_slots=n_slots, max_hits=max_hits
+    )
+    if verify_slack:
+        dist_c, cp_c, rid_c, ovf2 = suffix_filter.verify_candidates_compact(
+            text_words, bi.fwd.n, v2.astype(jnp.int32), lengths2,
+            cands.cand_pos, k, W, slack=verify_slack,
+        )
+        best = suffix_filter.best_hit_compact(rid_c, cp_c, dist_c, k, 2 * B)
+        ovf2b = cands.overflow | ovf2
+    else:
+        dist2, _ = suffix_filter.verify_candidates(
+            text_words, bi.fwd.n, v2.astype(jnp.int32), lengths2,
+            cands.cand_pos, k, W,
+        )
+        best = suffix_filter.best_hit(cands.cand_pos, dist2, k)
+        ovf2b = cands.overflow
+
+    df = jnp.where(best.best_dist[:B] <= k, best.best_dist[:B], INF)
+    dr = jnp.where(best.best_dist[B:] <= k, best.best_dist[B:], INF)
+    pf, pr = best.best_pos[:B], best.best_pos[B:]
+    take_r = (dr < df) | ((dr == df) & (pr < pf))
+    dist = jnp.where(take_r, dr, df)
+    cand = jnp.where(take_r, pr, pf)
+    n_good = best.n_good[:B] + best.n_good[B:]
+    ovf = ovf2b[:B] | ovf2b[B:]
+    mapped = dist <= k
+
+    vsel = jnp.where(take_r[:, None], vrc, vf)
+    ham, o_min = suffix_filter.offset_hamming(
+        text_words, bi.fwd.n, vsel.astype(jnp.int32), lengths,
+        jnp.where(mapped, cand, 0).astype(jnp.int32), k,
+    )
+    return jnp.stack(
+        [
+            cand,
+            dist,
+            take_r.astype(jnp.int32),
+            n_good,
+            ovf.astype(jnp.int32),
+            ham,
+            o_min,
+        ]
+    )
+
+
+def fused_staircase_step(bi, text_words, verify_fwd, lengths, **static):
+    """jit-cached wrapper (static config in the cache key)."""
+    import jax
+    from functools import partial
+
+    key = ("staircase",) + tuple(sorted(static.items()))
+    if key not in _fused_cache:
+        _fused_cache[key] = jax.jit(partial(_fused_staircase_step_impl, **static))
+    return _fused_cache[key](bi, text_words, verify_fwd, lengths)

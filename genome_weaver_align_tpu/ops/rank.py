@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..index.build import BLOCK_BASES, WORDS_PER_BLOCK, FMIndexData
+from ..utils.larray import check_device_indexable
 
 _PAIR = jnp.uint32(0x55555555)
 _FULL = jnp.uint32(0xFFFFFFFF)
@@ -67,8 +68,6 @@ def fuse_blocks(bwt_words: np.ndarray, occ_cp: np.ndarray) -> np.ndarray:
 
 
 def from_host(fm: FMIndexData) -> DeviceFMIndex:
-    from ..utils.larray import check_device_indexable
-
     # every device-side lookup (LF, locate, occ) indexes with int32
     check_device_indexable(fm.n + 1, "FM index")
     marks = fm.ssa_marks
@@ -84,6 +83,38 @@ def from_host(fm: FMIndexData) -> DeviceFMIndex:
         n=int(fm.n),
         sample_rate=int(fm.sample_rate),
         full_sa=None if fm.full_sa is None else jnp.asarray(fm.full_sa),
+    )
+
+
+def from_arrays(
+    blocks: np.ndarray,
+    C: np.ndarray,
+    primary: int,
+    mark_blocks: np.ndarray,
+    mark_cp: np.ndarray,
+    ssa_values: np.ndarray,
+    n: int,
+    sample_rate: int,
+    full_sa: np.ndarray | None = None,
+) -> DeviceFMIndex:
+    """DeviceFMIndex straight from device-ready host arrays (memmaps OK).
+
+    The flat multi-part layout (index.multipart_io) stores exactly these
+    arrays on disk, so a Gbp part loads with ZERO host transformation:
+    np.memmap -> jnp.asarray page-in/upload.  ``from_host`` remains the
+    build-time path; both produce bit-identical device tables
+    (tests/test_multipart_io.py pins this)."""
+    check_device_indexable(int(n) + 1, "FM index")
+    return DeviceFMIndex(
+        blocks=jnp.asarray(blocks),
+        C=jnp.asarray(np.asarray(C, dtype=np.int32)),
+        primary=jnp.asarray(np.int32(primary)),
+        mark_blocks=jnp.asarray(mark_blocks),
+        mark_cp=jnp.asarray(mark_cp),
+        ssa_values=jnp.asarray(ssa_values),
+        n=int(n),
+        sample_rate=int(sample_rate),
+        full_sa=None if full_sa is None else jnp.asarray(full_sa),
     )
 
 

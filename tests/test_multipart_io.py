@@ -141,6 +141,70 @@ def test_staircase_rescue_maps_flooded_reads(tmp_path):
     assert (dist[:n_rep] == 1).all()
     assert (strand == 0).all()
 
+    # flat layout: same stream + rescue (last part resident, earlier parts
+    # FM-only reload) must be bit-identical to the npz path
+    for p in range(2):
+        mp.convert_part_to_flat(part_dir, p)
+    stats = {}
+    d2, g2, s2, m2, _, _ = mp.align_stream_multipart(
+        mi, reads, lengths_row, B, k=K, stats=stats
+    )
+    assert stats["format"] == "flat"
+    assert np.array_equal(d2, dist) and np.array_equal(g2, gpos)
+    assert np.array_equal(s2, strand) and np.array_equal(m2, mapped)
+
+
+def test_flat_matches_from_host(tmp_path):
+    """The flat layout's device arrays must be byte-identical to what
+    rank.from_host uploads from the npz load path (blocks fusing, LSB-first
+    mark words, checkpoint cumsum) — for the forward AND reverse tables."""
+    from genome_weaver_align_tpu.ops import rank
+
+    rng = np.random.default_rng(7)
+    part_dir, parts_codes, _ = _build_parts(tmp_path, rng, n_per_part=3000)
+    _write_rev(part_dir, 0, parts_codes[0])
+    mp.convert_part_to_flat(part_dir, 0)
+
+    gi, (so, sp), j, goff = mp.load_part(part_dir, 0)
+    ref = rank.from_host(gi.fwd)
+    fp = mp.load_part_flat(part_dir, 0)
+    assert fp.n == gi.fwd.n and fp.seed_j == j and fp.global_offset == goff
+    assert np.array_equal(np.asarray(fp.fm.blocks), np.asarray(ref.blocks))
+    assert np.array_equal(
+        np.asarray(fp.fm.mark_blocks), np.asarray(ref.mark_blocks)
+    )
+    assert np.array_equal(np.asarray(fp.fm.mark_cp), np.asarray(ref.mark_cp))
+    assert np.array_equal(
+        np.asarray(fp.fm.ssa_values), np.asarray(ref.ssa_values)
+    )
+    assert np.array_equal(np.asarray(fp.fm.C), np.asarray(ref.C))
+    assert int(fp.fm.primary) == int(ref.primary)
+    assert fp.fm.sample_rate == ref.sample_rate
+    assert np.array_equal(
+        np.asarray(fp.text_words), gi.fwd.text_words
+    )
+    assert np.array_equal(np.asarray(fp.seed_tab[0]), so)
+    assert np.array_equal(np.asarray(fp.seed_tab[1]), sp)
+
+    rev_host = mp.load_rev(part_dir, 0)
+    ref_rev = rank.from_host(rev_host)
+    dev_rev = mp.load_rev_flat(part_dir, 0)
+    assert np.array_equal(np.asarray(dev_rev.blocks), np.asarray(ref_rev.blocks))
+    assert np.array_equal(
+        np.asarray(dev_rev.mark_blocks), np.asarray(ref_rev.mark_blocks)
+    )
+    assert np.array_equal(
+        np.asarray(dev_rev.mark_cp), np.asarray(ref_rev.mark_cp)
+    )
+    assert np.array_equal(
+        np.asarray(dev_rev.ssa_values), np.asarray(ref_rev.ssa_values)
+    )
+
+    # want_fm=False: dummy FM tables but real metadata (seed streaming path)
+    fp2 = mp.load_part_flat(part_dir, 0, want_fm=False, want_seed=False)
+    assert fp2.fm.n == gi.fwd.n and fp2.seed_tab is None
+    assert np.asarray(fp2.fm.blocks).shape == (1, 12)
+
 
 def test_save_load_round_trip(tmp_path):
     rng = np.random.default_rng(0)
@@ -186,6 +250,17 @@ def test_stream_merge_matches_single_index(tmp_path):
     )
     assert mapped.all()
     assert align_s > 0 and load_s > 0
+
+    # flat path (no rev -> no rescue) must reproduce the npz stream exactly
+    for p in range(2):
+        mp.convert_part_to_flat(part_dir, p)
+    stats = {}
+    d2, g2, s2, m2, _, _ = mp.align_stream_multipart(
+        mi, reads, lengths_row, B, k=K, stats=stats
+    )
+    assert stats["format"] == "flat"
+    assert np.array_equal(d2, dist) and np.array_equal(g2, gpos)
+    assert np.array_equal(s2, strand)
 
     # oracle: one aligner over the concatenated genome, same seed_j budgets
     genome = Genome(
