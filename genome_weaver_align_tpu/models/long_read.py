@@ -24,9 +24,13 @@ Method (minimizer-style chunk-and-vote, dense TPU form):
 
 This maps arbitrarily long reads with the SAME HBM-resident index and
 the same verify kernel as the short-read pipeline.  Base-exact CIGARs
-for long reads are a stitching pass over per-segment tracebacks —
-roadmapped, not yet built; ``dist`` here is the summed per-segment
-banded distance (an upper bound within the drift band).
+come from ONE whole-read banded affine traceback per mapped read
+(``ops.affine``, native engine): with the r5 vectorised row fill the
+engine runs >1.5k reads/s at 4 kb on this 2-core box, so the per-segment
+traceback stitching once roadmapped here is unnecessary — the whole-read
+band (half-width ``kb + band``) is both exact and fast.  Without
+``traceback``, ``dist`` is the summed per-segment banded distance (an
+upper bound within the drift band).
 
 Reference parity note: the Java reference is a short-read aligner with
 no long-read mode (SURVEY.md §2); this module is a TPU-rebuild
@@ -95,9 +99,13 @@ def _chunk_vote_verify(
     off2 = offsets[pval[..., None] + jnp.arange(2, dtype=jnp.int32)]
     start_all, end_all = off2[..., 0], off2[..., 1]
     width_all = end_all - start_all
-    # a probe whose j-mer runs past the read end must not win the argmin
+    # a probe whose j-mer runs past the read end must not win the argmin;
+    # nor may a ZERO-width bucket (a j-mer absent from the genome = probe
+    # crossed an edit): it would beat every live probe and silently
+    # unanchor the segment (see suffix_filter.seed_candidates)
     probe_end = pidx[None] + j  # (1, S, R)
     width_all = jnp.where(probe_end <= lengths[:, None, None], width_all, 1 << 30)
+    width_all = jnp.where(width_all <= 0, jnp.int32(1 << 30), width_all)
     r_best = jnp.argmin(width_all, axis=2)  # (B, S)
 
     take = lambda a: jnp.take_along_axis(a, r_best[..., None], axis=2)[..., 0]

@@ -272,6 +272,14 @@ def seed_candidates(
     off2 = offsets[idx[..., None] + jnp.arange(2, dtype=jnp.int32)]  # (B,P,R,2)
     start_all, end_all = off2[..., 0], off2[..., 1]
     width_all = end_all - start_all
+    # a zero-width bucket is a j-mer ABSENT from the genome — i.e. a probe
+    # that crossed a read edit.  It must not win the rarest-probe argmin
+    # over a live bucket: picking it silently discards the whole piece's
+    # candidates (measured on diverged long reads: anchoring collapsed at
+    # ~8% divergence because corrupted 13-mers are almost always absent,
+    # width 0 < any live width).  Masked to a large sentinel; if EVERY
+    # probe is dead the piece still contributes nothing, as before.
+    width_all = jnp.where(width_all <= 0, jnp.int32(1 << 30), width_all)
     r_best = jnp.argmin(width_all, axis=2)  # first min: deterministic
 
     def take(a):

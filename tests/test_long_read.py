@@ -92,6 +92,76 @@ def test_long_reads_no_traceback_diagonal(setup):
     assert (np.abs(lh.pos - pos) <= 24).all()
 
 
+def _divergent_reads(codes, n, L, rng, frac):
+    """Reads with uniformly scattered substitutions at rate ``frac``."""
+    pos = rng.integers(0, codes.size - L - 50, size=n)
+    reads = codes[pos[:, None] + np.arange(L)[None, :]].copy()
+    n_subs = int(frac * L)
+    for i in range(n):
+        at = rng.choice(L, size=n_subs, replace=False)
+        reads[i, at] = (reads[i, at] + rng.integers(1, 4, size=n_subs)) % 4
+    return reads, pos
+
+
+def test_long_read_divergence_envelope(setup):
+    """Operating envelope at the accept boundary (VERDICT r4 weak-#8):
+    with max_edit_frac=0.12, 8%-divergent reads MUST map to their locus;
+    16%-divergent reads MUST NOT map (the summed banded distance exceeds
+    the cap); 12% (the boundary) may go either way, but any read that
+    does map must land on the true locus — the threshold may cost
+    sensitivity, never specificity."""
+    codes, al = setup
+    rng = np.random.default_rng(17)
+    n, L = 16, 1024
+    lens = np.full(n, L, np.int32)
+
+    reads8, pos8 = _divergent_reads(codes, n, L, rng, 0.08)
+    lh = al.align_arrays(reads8.astype(np.int8), lens, traceback=False)
+    assert lh.mapped.all(), f"8% divergence must map: {np.nonzero(~lh.mapped)[0]}"
+    assert (np.abs(lh.pos - pos8) <= al.band).all()
+
+    reads16, _ = _divergent_reads(codes, n, L, rng, 0.16)
+    lh = al.align_arrays(reads16.astype(np.int8), lens, traceback=False)
+    assert not lh.mapped.any(), "16% divergence must be rejected"
+
+    reads12, pos12 = _divergent_reads(codes, n, L, rng, 0.12)
+    lh = al.align_arrays(reads12.astype(np.int8), lens, traceback=False)
+    ok = lh.mapped
+    assert (np.abs(lh.pos[ok] - pos12[ok]) <= al.band).all(), (
+        "a boundary read that maps must map to its true locus"
+    )
+
+
+def test_long_read_cigar_native_matches_numpy_oracle(setup, monkeypatch):
+    """The production CIGAR path (whole-read banded affine traceback,
+    native C++ engine) must be bit-identical to the NumPy oracle engine on
+    the long-read shapes (VERDICT r4 ask #4 'CIGARs still exact')."""
+    from genome_weaver_align_tpu.ops import affine
+
+    codes, al = setup
+    rng = np.random.default_rng(23)
+    n, L = 8, 1024
+    reads, pos, strand = _make_long_reads(codes, n, L, rng)
+    lens = np.full(n, L, np.int32)
+    lh_native = al.align_arrays(reads.astype(np.int8), lens)
+    assert affine._native_fn is not None, "native engine not built"
+    monkeypatch.setattr(affine, "_native_fn", None)
+    monkeypatch.setattr(affine, "_native_failed", True)
+    lh_oracle = al.align_arrays(reads.astype(np.int8), lens)
+    assert np.array_equal(lh_native.pos, lh_oracle.pos)
+    assert np.array_equal(lh_native.dist, lh_oracle.dist)
+    assert lh_native.cigars == lh_oracle.cigars
+    assert lh_native.aux == lh_oracle.aux
+    # CIGAR sanity: M+I runs consume exactly the read length
+    import re
+
+    for c in lh_native.cigars.values():
+        consumed = sum(
+            int(r) for r, op in re.findall(r"(\d+)([MID])", c) if op in "MI"
+        )
+        assert consumed == L, (c, consumed)
+
+
 def test_long_reads_ragged_and_junk(setup):
     codes, al = setup
     rng = np.random.default_rng(13)
