@@ -293,6 +293,31 @@ def _flat_mmap(d: Path, manifest: dict, name: str) -> np.ndarray:
     )
 
 
+def _flat_read(d: Path, manifest: dict, name: str) -> np.ndarray:
+    """Sequential read into process RAM (np.fromfile).  Uploading straight
+    from a cold memmap page-faults 4 KB at a time and measured 0.14 GB/s;
+    fromfile reads at disk speed (0.7 GB/s) and the subsequent upload runs
+    at tunnel speed (~1.2 GB/s) — 4x end-to-end.  This is also what the
+    background prefetch thread calls, so the next part's arrays are
+    already host-resident when its turn comes."""
+    fname, _ = _FLAT_FILES[name]
+    spec = manifest["arrays"][name]
+    return np.fromfile(d / fname, dtype=np.dtype(spec["dtype"])).reshape(
+        tuple(spec["shape"])
+    )
+
+
+_STREAM_ARRAYS = ("text_words", "seed_offsets", "seed_positions")
+_FM_ARRAYS = ("blocks", "mark_blocks", "mark_cp", "ssa_values")
+_REV_ARRAYS = ("rev.blocks", "rev.mark_blocks", "rev.mark_cp", "rev.ssa_values")
+
+
+def _read_part_arrays(part_dir: Path, i: int, names) -> dict:
+    d = flat_dir(part_dir, i)
+    manifest = json.loads((d / "manifest.json").read_text())
+    return {n: _flat_read(d, manifest, n) for n in names if n in manifest["arrays"]}
+
+
 @dataclass
 class FlatPart:
     """One flat part's device-resident tables + host metadata."""
@@ -309,12 +334,19 @@ class FlatPart:
 
 
 def load_part_flat(
-    part_dir: Path, i: int, *, want_seed: bool = True, want_fm: bool = True
+    part_dir: Path,
+    i: int,
+    *,
+    want_seed: bool = True,
+    want_fm: bool = True,
+    arrays: dict | None = None,
 ) -> FlatPart:
-    """Memmap + upload one flat part.  ``want_fm=False`` uploads 1-row dummy
+    """Read + upload one flat part.  ``want_fm=False`` uploads 1-row dummy
     FM tables (the seed-path streaming step never gathers from them) —
-    saves ~2 GB of upload per part; ``want_seed=False`` skips the multi-GB
-    seed table (rescue passes need FM + text only)."""
+    saves ~2 GB of upload per part AND keeps ONE streaming executable
+    across parts; ``want_seed=False`` skips the multi-GB seed table
+    (rescue passes need FM + text only).  ``arrays`` supplies host arrays
+    already read by a background prefetch thread (``_read_part_arrays``)."""
     import jax.numpy as jnp
 
     from ..ops import rank
@@ -324,14 +356,18 @@ def load_part_flat(
     manifest = json.loads((d / "manifest.json").read_text())
     n = manifest["n"]
     C = np.asarray(manifest["C"], np.int64)
+    arrays = arrays or {}
+    get = lambda name: (
+        arrays[name] if name in arrays else _flat_read(d, manifest, name)
+    )
     if want_fm:
         fm = rank.from_arrays(
-            blocks=_flat_mmap(d, manifest, "blocks"),
+            blocks=get("blocks"),
             C=C,
             primary=manifest["primary"],
-            mark_blocks=_flat_mmap(d, manifest, "mark_blocks"),
-            mark_cp=_flat_mmap(d, manifest, "mark_cp"),
-            ssa_values=_flat_mmap(d, manifest, "ssa_values"),
+            mark_blocks=get("mark_blocks"),
+            mark_cp=get("mark_cp"),
+            ssa_values=get("ssa_values"),
             n=n,
             sample_rate=manifest["sample_rate"],
         )
@@ -346,12 +382,12 @@ def load_part_flat(
             n=n,
             sample_rate=manifest["sample_rate"],
         )
-    text = jnp.asarray(_flat_mmap(d, manifest, "text_words"))
+    text = jnp.asarray(get("text_words"))
     seed = None
     if want_seed:
         seed = (
-            jnp.asarray(_flat_mmap(d, manifest, "seed_offsets")),
-            jnp.asarray(_flat_mmap(d, manifest, "seed_positions")),
+            jnp.asarray(get("seed_offsets")),
+            jnp.asarray(get("seed_positions")),
         )
     lengths = np.asarray(manifest["lengths"], np.int64)
     offsets = np.zeros(lengths.size + 1, dtype=np.int64)
@@ -374,7 +410,7 @@ def load_part_flat(
     )
 
 
-def load_rev_flat(part_dir: Path, i: int):
+def load_rev_flat(part_dir: Path, i: int, arrays: dict | None = None):
     """DeviceFMIndex of part i's reverse text from the flat layout, or None."""
     from ..ops import rank
 
@@ -383,13 +419,17 @@ def load_rev_flat(part_dir: Path, i: int):
     if "rev" not in manifest:
         return None
     r = manifest["rev"]
+    arrays = arrays or {}
+    get = lambda name: (
+        arrays[name] if name in arrays else _flat_read(d, manifest, name)
+    )
     return rank.from_arrays(
-        blocks=_flat_mmap(d, manifest, "rev.blocks"),
+        blocks=get("rev.blocks"),
         C=np.asarray(r["C"], np.int64),
         primary=r["primary"],
-        mark_blocks=_flat_mmap(d, manifest, "rev.mark_blocks"),
-        mark_cp=_flat_mmap(d, manifest, "rev.mark_cp"),
-        ssa_values=_flat_mmap(d, manifest, "rev.ssa_values"),
+        mark_blocks=get("rev.mark_blocks"),
+        mark_cp=get("rev.mark_cp"),
+        ssa_values=get("rev.ssa_values"),
         n=r["n"],
         sample_rate=r["sample_rate"],
     )
@@ -399,20 +439,6 @@ def has_flat(part_dir: Path, n_parts: int) -> bool:
     return all(
         (flat_dir(part_dir, p) / "manifest.json").exists() for p in range(n_parts)
     )
-
-
-def _warm_pagecache(paths):
-    """Sequentially read files so the OS page cache holds them before the
-    serialized memmap upload — overlaps the NEXT part's disk IO with the
-    CURRENT part's align stream (2-core box: cheap thread, pure IO)."""
-    buf = bytearray(64 << 20)
-    for p in paths:
-        try:
-            with open(p, "rb", buffering=0) as f:
-                while f.readinto(memoryview(buf)):
-                    pass
-        except OSError:
-            return
 
 
 # ------------------------------------------------------------ streaming
@@ -438,18 +464,27 @@ def load_multi_index(part_dir: Path) -> MultiPartIndex:
     )
 
 
-def _part_budgets(n: int, seed_j: int) -> tuple[int, int]:
-    """(max_hits, max_cands) scaled to part size — see the r4 notes below.
+def _part_budgets(n: int, seed_j: int) -> tuple[int, int, int]:
+    """(max_hits, max_cands, verify_slack) scaled to part size.
 
     Budgets scale with part size: the mean j-mer bucket holds n/4^j
     positions (~24 at 1.6 Gbp, j=13), so the 230 Mbp defaults (8/12)
     would flood EVERY read into the 16x tier-1 rerun.  The verify cap
     stays tight because verify temps are O(B * max_cands * 16L) bytes
-    next to 8.7 GB of tables (XLA OOM at 70 cands x 16k, measured)."""
+    next to 8.7 GB of tables (XLA OOM at 70 cands x 16k, measured).
+
+    verify_slack must ALSO scale: it is the compact-verify pool's
+    average lanes/read, and at Gbp bucket widths every read proposes
+    ~3 pieces x ~1.5x-mean candidates.  The r4 value of 4 starved the
+    pool — 96% of every batch overflowed and the chunked tier-1 rerun
+    became the primary path at ~10x the cost (measured: 540-710 of
+    ~650 ms/batch was tier-1).  Sized to the expected proposal count,
+    capped at max_cands; small parts keep the old 4."""
     mean_bucket = n / 4**seed_j
     max_hits = max(8, min(64, int(1.5 * mean_bucket)))
     max_cands = max(12, min(32, 2 * max_hits))
-    return max_hits, max_cands
+    slack = max(4, min(max_cands, int(3 * 1.5 * mean_bucket)))
+    return max_hits, max_cands, slack
 
 
 class _Best:
@@ -604,38 +639,46 @@ def align_stream_multipart(
             )
             for p in range(mi.n_parts)
         )
-        warm = pool.submit(
-            _warm_pagecache, sorted(flat_dir(mi.part_dir, 0).glob("*.bin"))
+        # background host prefetch: the next part's arrays are np.fromfile'd
+        # into RAM while the current part streams (uploading from a cold
+        # memmap page-faults at 0.14 GB/s; a host-resident array uploads at
+        # tunnel speed)
+        nxt_arrays = pool.submit(
+            _read_part_arrays, mi.part_dir, 0, _STREAM_ARRAYS
         )
         for p in range(mi.n_parts):
             tp = time.time()
-            warm.result()
-            # rescue for the LAST part runs in-place, so it needs real FM
-            want_fm = rescue_planned and p == last
-            fp = load_part_flat(mi.part_dir, p, want_seed=True, want_fm=want_fm)
-            max_hits, max_cands = _part_budgets(fp.n, fp.seed_j)
+            # streaming uses DUMMY FM tables for every part (the seed path
+            # never gathers from them) — one executable across parts, no
+            # per-part shape split
+            fp = load_part_flat(
+                mi.part_dir, p, want_seed=True, want_fm=False,
+                arrays=nxt_arrays.result(),
+            )
+            max_hits, max_cands, slack = _part_budgets(fp.n, fp.seed_j)
             al = SuffixFilterAligner(
                 _GI(fp.genome, None, None), k=k,
                 max_hits_per_piece=max_hits, max_cands=max_cands,
-                verify_slack=4,
+                verify_slack=slack,
                 device_tables={"fm": fp.fm, "text": fp.text_words},
             )
             al.seed_tab = fp.seed_tab
             al.seed_j = fp.seed_j
-            jax.block_until_ready(
-                (fp.text_words, fp.seed_tab)
-                + ((fp.fm.blocks,) if want_fm else ())
-            )
+            jax.block_until_ready((fp.text_words, fp.seed_tab))
             if p + 1 < mi.n_parts:
-                warm = pool.submit(
-                    _warm_pagecache,
-                    sorted(flat_dir(mi.part_dir, p + 1).glob("*.bin")),
+                nxt_arrays = pool.submit(
+                    _read_part_arrays, mi.part_dir, p + 1, _STREAM_ARRAYS
+                )
+            elif rescue_planned:
+                nxt_arrays = pool.submit(
+                    _read_part_arrays, mi.part_dir, last,
+                    _FM_ARRAYS + _REV_ARRAYS,
                 )
             dt = time.time() - tp
             load_s += dt
             log(
-                f"part {p}: flat load+upload in {dt:.1f}s "
-                f"(n={fp.n}, max_hits={max_hits}, max_cands={max_cands})"
+                f"part {p}: flat load+upload in {dt:.1f}s (n={fp.n}, "
+                f"max_hits={max_hits}, max_cands={max_cands}, slack={slack})"
             )
             _stream_part(al, fp.global_offset, p)
             if p != last:
@@ -649,66 +692,77 @@ def align_stream_multipart(
                 best.strand[:N].copy(),
             )
 
-        # ---- deferred tier-2: staircase rescue, last part resident ----
+        # ---- deferred tier-2: staircase rescue, last part's text resident
         un = np.nonzero(best.dist[:N] > k)[0]
         stats["un_before_rescue"] = int(un.size)
         stats["rescued"] = 0
         if un.size and rescue_planned:
-            # drop the seed table BEFORE uploading the reverse index: the
-            # two together with the FM tables exceed one v5e's HBM
+            # drop the seed table BEFORE uploading FM + reverse tables
+            # (seed + FM + rev together exceed one v5e's HBM next to temps)
             al.seed_tab = None
             fp.seed_tab = None
+            if al._fb is not None:  # the tier-1 copy holds its own seed ref
+                al._fb.seed_tab = None
             gc.collect()
-            tp = time.time()
-            rev = load_rev_flat(mi.part_dir, last)
-            al2 = SuffixFilterAligner(
-                _GI(fp.genome, None, None), k=k, max_hits_per_piece=8,
-                use_staircase=True, verify_slack=16, overflow_fallback=False,
-                staircase_slots=64,
-                device_tables={"fm": fp.fm, "text": fp.text_words, "rev": rev},
-            )
-            jax.block_until_ready((rev.blocks, rev.ssa_values))
-            load_s += time.time() - tp
-            stats.setdefault("rescue_load_s", 0.0)
-            stats["rescue_load_s"] += time.time() - tp
-            t0 = time.time()
-            n_r = _rescue_with(al2, reads, un, best, fp.global_offset, L)
-            align_s += time.time() - t0
-            stats["rescued"] += n_r
-            log(
-                f"rescue part {last} (resident): {un.size} unmapped reads "
-                f"in {time.time()-t0:.1f}s, improved {n_r}"
-            )
-            del al, al2, fp, rev
-            gc.collect()
-            for p in range(mi.n_parts - 1):
+            order = [last] + list(range(mi.n_parts - 1))
+            rescue_arrays = nxt_arrays  # prefetched during the last stream
+            for ri, p in enumerate(order):
                 tp = time.time()
-                fp = load_part_flat(
-                    mi.part_dir, p, want_seed=False, want_fm=True
-                )
-                rev = load_rev_flat(mi.part_dir, p)
+                arrs = rescue_arrays.result()
+                if ri + 1 < len(order):
+                    rescue_arrays = pool.submit(
+                        _read_part_arrays, mi.part_dir, order[ri + 1],
+                        _FM_ARRAYS + _REV_ARRAYS,
+                    )
+                if p == last:
+                    fp_r = fp  # text already on device; add real FM
+                    from ..ops import rank as _rank
+
+                    d = flat_dir(mi.part_dir, p)
+                    manifest = json.loads((d / "manifest.json").read_text())
+                    fm_real = _rank.from_arrays(
+                        blocks=arrs["blocks"], C=np.asarray(manifest["C"]),
+                        primary=manifest["primary"],
+                        mark_blocks=arrs["mark_blocks"],
+                        mark_cp=arrs["mark_cp"],
+                        ssa_values=arrs["ssa_values"], n=manifest["n"],
+                        sample_rate=manifest["sample_rate"],
+                    )
+                    text_dev = fp.text_words
+                else:
+                    fp_r = load_part_flat(
+                        mi.part_dir, p, want_seed=False, want_fm=True,
+                        arrays=arrs,
+                    )
+                    fm_real = fp_r.fm
+                    text_dev = fp_r.text_words
+                rev = load_rev_flat(mi.part_dir, p, arrays=arrs)
                 al2 = SuffixFilterAligner(
-                    _GI(fp.genome, None, None), k=k, max_hits_per_piece=8,
+                    _GI(fp_r.genome, None, None), k=k, max_hits_per_piece=8,
                     use_staircase=True, verify_slack=16,
                     overflow_fallback=False, staircase_slots=64,
-                    device_tables={
-                        "fm": fp.fm, "text": fp.text_words, "rev": rev
-                    },
+                    device_tables={"fm": fm_real, "text": text_dev, "rev": rev},
                 )
-                jax.block_until_ready((fp.fm.blocks, rev.blocks))
+                jax.block_until_ready((fm_real.blocks, rev.blocks))
                 load_s += time.time() - tp
+                stats.setdefault("rescue_load_s", 0.0)
                 stats["rescue_load_s"] += time.time() - tp
                 t0 = time.time()
-                n_r = _rescue_with(al2, reads, un, best, fp.global_offset, L)
+                n_r = _rescue_with(
+                    al2, reads, un, best, fp_r.global_offset, L
+                )
                 align_s += time.time() - t0
                 stats["rescued"] += n_r
                 log(
                     f"rescue part {p}: {un.size} unmapped reads in "
                     f"{time.time()-t0:.1f}s, improved {n_r}"
                 )
-                del al2, fp, rev
+                if p == last:
+                    del al, fp, fm_real, rev, al2
+                else:
+                    del al2, fp_r, fm_real, rev
                 gc.collect()
-        elif p == last:
+        else:
             del al, fp
             gc.collect()
         pool.shutdown(wait=False)
@@ -724,10 +778,10 @@ def align_stream_multipart(
         gi, seed_tab, seed_j, goff = nxt_part.result()
         if p + 1 < mi.n_parts:
             nxt_part = pool.submit(load_part, mi.part_dir, p + 1)
-        max_hits, max_cands = _part_budgets(gi.fwd.n, seed_j)
+        max_hits, max_cands, slack = _part_budgets(gi.fwd.n, seed_j)
         al = SuffixFilterAligner(
             gi, k=k, max_hits_per_piece=max_hits, seed_table=seed_tab,
-            seed_j=seed_j, max_cands=max_cands, verify_slack=4,
+            seed_j=seed_j, max_cands=max_cands, verify_slack=slack,
         )
         # jnp.asarray uploads are async: force the tables onto the device
         # INSIDE the load window, or the transfer bills to batch 0
