@@ -473,17 +473,22 @@ def _part_budgets(n: int, seed_j: int) -> tuple[int, int, int]:
     stays tight because verify temps are O(B * max_cands * 16L) bytes
     next to 8.7 GB of tables (XLA OOM at 70 cands x 16k, measured).
 
-    verify_slack must ALSO scale: it is the compact-verify pool's
-    average lanes/read, and at Gbp bucket widths every read proposes
-    ~3 pieces x ~1.5x-mean candidates.  The r4 value of 4 starved the
-    pool — 96% of every batch overflowed and the chunked tier-1 rerun
-    became the primary path at ~10x the cost (measured: 540-710 of
-    ~650 ms/batch was tier-1).  Sized to the expected proposal count,
-    capped at max_cands; small parts keep the old 4."""
+    max_cands and verify_slack must cover the PROPOSAL DISTRIBUTION, not
+    just one bucket: measured on the 1.6 Gbp part (r5), the rarest-of-4
+    probe averages ~0.73x the mean bucket, so a k=2 read proposes
+    ~3 x 17.6 = 53 candidates (p90 59, p99 105) — the r4 max_cands=32
+    truncated EVERY read (dedupe overflow 71-96% of each batch) and the
+    chunked tier-1 rerun became the primary path at ~10x the cost
+    (measured: 540-710 of ~650 ms/batch was tier-1, while true
+    bucket-width overflow was only 127/4096 reads).  max_cands now covers
+    the worst case (pieces x max_hits, capped 128); slack — the compact
+    pool's AVERAGE lanes/read — covers the mean proposal count with ~20%
+    margin.  Small parts keep the old 4/pieces*hits shapes."""
+    P = 3  # k=2 pieces; budgets are computed for the flagship k
     mean_bucket = n / 4**seed_j
     max_hits = max(8, min(64, int(1.5 * mean_bucket)))
-    max_cands = max(12, min(32, 2 * max_hits))
-    slack = max(4, min(max_cands, int(3 * 1.5 * mean_bucket)))
+    max_cands = max(12, min(128, P * max_hits))
+    slack = max(4, min(max_cands, int(0.9 * P * mean_bucket)))
     return max_hits, max_cands, slack
 
 

@@ -652,6 +652,7 @@ class SuffixFilterAligner:
                 verify_slack=16,
                 overflow_fallback=False,
                 scored=self.scored,
+                staircase_slots=self.staircase_slots,  # sweepable (r5 ask #3)
             )
         return self._fb2
 
