@@ -152,6 +152,30 @@ def staircase_filter_candidates(
             all4.rlo,
             all4.rhi,
         )
+        # Mismatch-biased retention (r5): compaction keeps the FIRST
+        # n_slots live lanes, so lane ORDER decides who survives overflow.
+        # The natural (parent-major, code-order) layout drops states
+        # blindly — inside a 100k-copy repeat family that was measured to
+        # drop the read's own low-mismatch state while keeping mismatch
+        # siblings (281/32768 gbp reads unmapped with a <=2 locus).
+        # Reorder each parent's children exact-first, then lay the pool
+        # out CHILD-RANK-major, so every exact extension precedes every
+        # mismatch extension; truncation then discards highest-mm states
+        # first.  A full mm sort would be exact but argsort dominated this
+        # loop when tried (r4); the block bias is one cheap gather.
+        perm = jnp.argsort(
+            (codes[..., 0, :] != c[..., None]).astype(jnp.int32) * 4
+            + jnp.arange(4, dtype=jnp.int32)[None, None, :],
+            axis=-1,
+        )  # (P, B, 4) — exact child first, then code order
+        pb4 = perm[:, :, None, :]
+
+        def reorder(f):  # (P, B, S, 4) -> (P, B, 4*S), child-rank-major
+            g = jnp.take_along_axis(f, jnp.broadcast_to(pb4, f.shape), axis=-1)
+            return g.transpose(0, 1, 3, 2)
+
+        pool_iv = BiInterval(*[reorder(f) for f in pool_iv])
+        child_mm = reorder(child_mm)
         new_iv, new_mm, live = compact(pool_iv, child_mm, n_slots)
         ovf = ovf | (active & (live > n_slots))
         out_iv = BiInterval(
