@@ -746,6 +746,7 @@ def align_stream_multipart(
                     _GI(fp_r.genome, None, None), k=k, max_hits_per_piece=8,
                     use_staircase=True, verify_slack=16,
                     overflow_fallback=False, staircase_slots=64,
+                    staircase_narrow_left=True,
                     device_tables={"fm": fm_real, "text": text_dev, "rev": rev},
                 )
                 jax.block_until_ready((fm_real.blocks, rev.blocks))
@@ -834,7 +835,7 @@ def align_stream_multipart(
                 # 16-slot default (measured: 1.4% of the stream stayed
                 # unmapped to pool truncation); the rescue cohort is a few
                 # thousand reads, so the 4x pool costs seconds, not minutes
-                staircase_slots=64,
+                staircase_slots=64, staircase_narrow_left=True,
             )
             jax.block_until_ready(
                 (al2.fm.blocks, al2.bi.rev.blocks, al2.text_words)

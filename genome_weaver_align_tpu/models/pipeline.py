@@ -218,6 +218,10 @@ class SuffixFilterAligner:
         # 16 fits the measured live fraction on chr20-scale repeat cohorts
         # (mean 0.5% of 64); very-high-copy families (Gbp multipart rescue)
         # branch wider — pass 64 there, the rescue cohort is tiny
+        staircase_narrow_left: bool = False,  # staircase states also
+        # narrow LEFT through pre-anchor pieces (whole-read intervals) —
+        # completeness for high-copy repeat families at ~+2L/3 steps; see
+        # staircase.staircase_filter_candidates(narrow_left=...)
         device_tables: dict | None = None,  # pre-uploaded tables (flat
         # multi-part layout, index.multipart_io.load_part_flat): keys
         # "fm" (DeviceFMIndex), "text" (packed text words on device),
@@ -256,6 +260,7 @@ class SuffixFilterAligner:
         self.scored = scored
         self.seed_probes = seed_probes
         self.staircase_slots = staircase_slots
+        self.staircase_narrow_left = staircase_narrow_left
         self._fb: "SuffixFilterAligner | None" = None
         self._fb2: "SuffixFilterAligner | None" = None
         if use_staircase:
@@ -282,6 +287,7 @@ class SuffixFilterAligner:
                 self.k,
                 n_slots=self.staircase_slots,
                 max_hits=self.max_hits,
+                narrow_left=self.staircase_narrow_left,
             )
         else:
             min_piece = int(lengths.min()) // self.n_pieces
@@ -409,6 +415,7 @@ class SuffixFilterAligner:
                 n_slots=self.staircase_slots,
                 max_hits=self.max_hits,
                 verify_slack=self.verify_slack,
+                narrow_left=self.staircase_narrow_left,
             )
             return ("uniform", lengths, verify_fwd, out_dev)
         if uniform:
@@ -972,7 +979,7 @@ def fused_align_step(fm, text_words, kmer_tab, seed_tab, verify_fwd, lengths, **
 
 def _fused_staircase_step_impl(
     bi, text_words, verify_fwd, lengths, *, k, W, n_slots, max_hits,
-    verify_slack,
+    verify_slack, narrow_left=False,
 ):
     """Whole staircase (tier-2) step in one jit: device RC, BOTH strands
     stacked into one 2B-lane staircase pass (the staircase is depth-bound,
@@ -993,7 +1000,8 @@ def _fused_staircase_step_impl(
     lengths2 = jnp.concatenate([lengths, lengths], axis=0)
 
     cands = staircase.staircase_filter_candidates(
-        bi, search2, lengths2, k, n_slots=n_slots, max_hits=max_hits
+        bi, search2, lengths2, k, n_slots=n_slots, max_hits=max_hits,
+        narrow_left=narrow_left,
     )
     if verify_slack:
         dist_c, cp_c, rid_c, ovf2 = suffix_filter.verify_candidates_compact(

@@ -69,7 +69,12 @@ def _compact_pool(iv: BiInterval, mm, n_slots: int):
     return packed, take(mm), live
 
 
-@partial(jax.jit, static_argnames=("k", "n_slots", "hits_per_state", "keep", "max_len"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "n_slots", "hits_per_state", "keep", "max_len", "narrow_left"
+    ),
+)
 def staircase_filter_candidates(
     bi: DeviceBiIndex,
     reads: jax.Array,  # (B, L) int32
@@ -80,6 +85,17 @@ def staircase_filter_candidates(
     keep: int = 8,
     max_hits: int | None = None,  # accepted for API parity; unused
     max_len: int | None = None,
+    narrow_left: bool = False,  # after the suffix staircase, extend every
+    # surviving state LEFT through the pieces before its anchor under the
+    # full k budget (the reference's bidirectional narrowing).  Without
+    # it, a last-piece lane in a high-copy repeat family ends as a WIDE
+    # interval (every copy matching the suffix) of which only
+    # hits_per_state rows are sampled — measured on the gbp bench, the
+    # entire unmapped tail (112/32768) was this sampling miss, and pool
+    # size 64 vs 128 changed nothing.  Narrowing shrinks those intervals
+    # to whole-read matches at ~+2L/3 sequential steps; ON for the
+    # completeness-critical multipart rescue, OFF where truncation is
+    # acceptable and flagged (repeat tier-2).
 ) -> CandidateResult:
     B, L = reads.shape
     Lb = L if max_len is None else max_len
@@ -131,18 +147,21 @@ def staircase_filter_candidates(
             live.reshape(P, B),
         )
 
-    def fwd_body(t, carry):
-        iv, mm, ovf = carry
-        j = e_pb + t  # (P, B)
-        active = j < lengths[None, :]
-        c = char_at(j)
-        jcap = jnp.minimum(j, lengths[None, :] - 1)
-        piece_of_j = (
-            jnp.sum((bounds[None, :, :] <= jcap[:, :, None]).astype(jnp.int32), axis=2)
-            - 1
-        )  # (P, B)
-        budget = piece_of_j - lane_piece
-        all4 = bd.extend_forward_all4(bi, iv)  # fields (P, B, S, 4)
+    def expand_step(iv, mm, ovf, c, budget, active, extend_all4):
+        """One masked all-4 expansion + mismatch-biased compaction.
+
+        Mismatch-biased retention (r5): compaction keeps the FIRST
+        n_slots live lanes, so lane ORDER decides who survives overflow.
+        The natural (parent-major, code-order) layout drops states
+        blindly — inside a 100k-copy repeat family that was measured to
+        drop the read's own low-mismatch state while keeping mismatch
+        siblings.  Reorder each parent's children exact-first, then lay
+        the pool out CHILD-RANK-major, so every exact extension precedes
+        every mismatch extension; truncation then discards highest-mm
+        states first.  A full mm sort would be exact but argsort
+        dominated this loop when tried (r4); the block bias is one cheap
+        gather."""
+        all4 = extend_all4(bi, iv)  # fields (P, B, S, 4)
         codes = jnp.arange(4, dtype=jnp.int32)[None, None, None, :]
         child_mm = mm[..., None] + (codes != c[..., None, None]).astype(jnp.int32)
         ok = child_mm <= budget[..., None, None]
@@ -152,17 +171,6 @@ def staircase_filter_candidates(
             all4.rlo,
             all4.rhi,
         )
-        # Mismatch-biased retention (r5): compaction keeps the FIRST
-        # n_slots live lanes, so lane ORDER decides who survives overflow.
-        # The natural (parent-major, code-order) layout drops states
-        # blindly — inside a 100k-copy repeat family that was measured to
-        # drop the read's own low-mismatch state while keeping mismatch
-        # siblings (281/32768 gbp reads unmapped with a <=2 locus).
-        # Reorder each parent's children exact-first, then lay the pool
-        # out CHILD-RANK-major, so every exact extension precedes every
-        # mismatch extension; truncation then discards highest-mm states
-        # first.  A full mm sort would be exact but argsort dominated this
-        # loop when tried (r4); the block bias is one cheap gather.
         perm = jnp.argsort(
             (codes[..., 0, :] != c[..., None]).astype(jnp.int32) * 4
             + jnp.arange(4, dtype=jnp.int32)[None, None, :],
@@ -184,9 +192,42 @@ def staircase_filter_candidates(
         out_mm = jnp.where(active[..., None], new_mm, mm)
         return out_iv, out_mm, ovf
 
+    def fwd_body(t, carry):
+        iv, mm, ovf = carry
+        j = e_pb + t  # (P, B)
+        active = j < lengths[None, :]
+        c = char_at(j)
+        jcap = jnp.minimum(j, lengths[None, :] - 1)
+        piece_of_j = (
+            jnp.sum((bounds[None, :, :] <= jcap[:, :, None]).astype(jnp.int32), axis=2)
+            - 1
+        )  # (P, B)
+        budget = piece_of_j - lane_piece
+        return expand_step(iv, mm, ovf, c, budget, active, bd.extend_forward_all4)
+
     iv, mm, overflow_pb = jax.lax.fori_loop(
         0, fwd_steps, fwd_body, (iv, mm, overflow_pb)
     )
+
+    if narrow_left:
+        # leftward narrowing: extend every surviving state back through
+        # the pieces BEFORE its anchor piece under the full k budget, so
+        # final intervals hold whole-read (not suffix) matches
+        bwd_steps = -(-(Lb * (P - 1)) // P)  # lane P-1 walks the most
+        full_budget = jnp.full((P, B), k, jnp.int32)
+
+        def bwd_body(t, carry):
+            iv, mm, ovf = carry
+            j = s_pb - 1 - t  # (P, B)
+            active = j >= 0
+            c = char_at(j)
+            return expand_step(
+                iv, mm, ovf, c, full_budget, active, bd.extend_backward_all4
+            )
+
+        iv, mm, overflow_pb = jax.lax.fori_loop(
+            0, bwd_steps, bwd_body, (iv, mm, overflow_pb)
+        )
 
     # final states: compact to the keep-window before the (costly) locate
     iv, mm, live_final = compact(iv, mm, keep)
@@ -200,7 +241,10 @@ def staircase_filter_candidates(
     valid = rows < iv.hi[..., None]
     rows = jnp.where(valid, rows, 0)
     pos = rank.locate(bi.fwd, jnp.clip(rows, 0, n).reshape(-1)).reshape(rows.shape)
-    cand = jnp.where(valid, pos - s_pb[..., None, None], NO_CAND)  # (P,B,keep,H)
+    # narrowed states span the WHOLE read, so their occurrence IS the read
+    # start; suffix-only states start at their piece
+    cand_off = jnp.zeros_like(s_pb) if narrow_left else s_pb
+    cand = jnp.where(valid, pos - cand_off[..., None, None], NO_CAND)  # (P,B,keep,H)
     overflow_pb = overflow_pb | jnp.any((iv.hi - iv.lo) > hits_per_state, axis=2)
     overflow = jnp.any(overflow_pb, axis=0)
 
