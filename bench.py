@@ -971,10 +971,40 @@ def bench_gbp(metrics):
     # allocator; measured, not theorized)
     stats: dict = {}
     dbg: dict = {}
+    # 16 x 8192 = 131k reads: the staircase rescue is DEPTH-bound (a
+    # 2048-read chunk costs the same wall as a 512-read one), so a longer
+    # stream amortizes it toward the production regime; verify temps at
+    # B=8192 x slack 64 are ~2-3 GB beside the 7.1 GB streaming tables
     rate, mapped_frac, correct_frac, load_s = multipart_io.bench_align_stream(
-        mi, n_batches=8, batch=4_096, read_len=150, seed=29, log=log,
+        mi, n_batches=16, batch=8_192, read_len=150, seed=29, log=log,
         stats=stats, debug_out=dbg,
     )
+    # steady-state rate: excludes the measured per-process compile tax
+    # (first submit of each part's stream; the rescue's first-pass excess
+    # over its warm repeat) — on this backend the remote compile cannot be
+    # reused across processes (measured ~180-200 s for the same program
+    # in consecutive processes), so a single-shot bench would report the
+    # compiler, not the aligner.  Both numbers are emitted.
+    bm_all = stats.get("batch_ms", [])
+    nb = len(bm_all)
+    compile_s = 0.0
+    fs = stats.get("first_submit_s", [])
+    med = sorted(bm_all)[nb // 2] / 1e3 if nb else 0.0
+    for f in fs:
+        compile_s += max(0.0, f)
+    # batch-0 of each part carries the tier-1 chunk compile: count its
+    # excess over the median steady batch
+    per_part = nb // max(1, len(fs))
+    for pi in range(len(fs)):
+        b0 = bm_all[pi * per_part] / 1e3 if nb > pi * per_part else 0.0
+        compile_s += max(0.0, b0 - med)
+    rp = stats.get("rescue_part_s", [])
+    if len(rp) > 1:
+        compile_s += max(0.0, max(rp) - min(rp))
+    N_total = 16 * 8_192
+    steady = N_total / max(1e-9, stats.get("align_s", 0.0) - compile_s)
+    metrics["multi_part_1gbp_reads_per_s_steady"] = round(steady, 1)
+    metrics["gbp_compile_s"] = round(compile_s, 1)
     # phase attribution (VERDICT r4 ask #1: attribute the align time before
     # optimizing it) + a debug dump for offline correctness classification
     bm = stats.get("batch_ms", [])
@@ -1053,6 +1083,8 @@ def bench_gbp(metrics):
         k: metrics[k]
         for k in (
             "multi_part_1gbp_reads_per_s",
+            "multi_part_1gbp_reads_per_s_steady",
+            "gbp_compile_s",
             "multi_part_1gbp_mapped_frac",
             "multi_part_1gbp_correct_frac",
             "multi_part_1gbp_asgood_frac",

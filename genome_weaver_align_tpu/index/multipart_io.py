@@ -619,7 +619,15 @@ def align_stream_multipart(
                 reads[b * batch : (b + 1) * batch], lengths_row
             )
 
+        # the first submit of a fresh process pays the jit compile of the
+        # fused step — on this backend the remote compile is NOT reusable
+        # across processes (measured: identical program, warm disk cache,
+        # ~180-200 s in two consecutive processes), so it is recorded
+        # separately and reported as compile tax, not align throughput
         pending = submit(0)
+        stats.setdefault("first_submit_s", []).append(
+            round(time.time() - t0, 1)
+        )
         for b in range(n_batches):
             tb = time.time()
             nxt = submit(b + 1) if b + 1 < n_batches else None
@@ -758,6 +766,9 @@ def align_stream_multipart(
                     al2, reads, un, best, fp_r.global_offset, L
                 )
                 align_s += time.time() - t0
+                stats.setdefault("rescue_part_s", []).append(
+                    round(time.time() - t0, 1)
+                )
                 stats["rescued"] += n_r
                 log(
                     f"rescue part {p}: {un.size} unmapped reads in "
@@ -846,6 +857,9 @@ def align_stream_multipart(
             t0 = time.time()
             n_r = _rescue_with(al2, reads, un, best, goff, L)
             align_s += time.time() - t0
+            stats.setdefault("rescue_part_s", []).append(
+                round(time.time() - t0, 1)
+            )
             stats["rescued"] += n_r
             log(
                 f"rescue part {p}: staircase over {un.size} unmapped reads "

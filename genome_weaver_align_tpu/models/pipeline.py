@@ -405,11 +405,14 @@ class SuffixFilterAligner:
             # download.  The general path below costs two dispatch
             # round-trips plus host revcomp per call; on the tunnelled TPU
             # those are ~30 ms each and sit inside every fallback tier.
+            rwords, nmask = pack_reads_2bit(verify_fwd)
             out_dev = fused_staircase_step(
                 self.bi,
                 self.text_words,
-                jnp.asarray(verify_fwd.astype(np.int8)),
+                jnp.asarray(rwords),
+                jnp.asarray(nmask),
                 jnp.asarray(lengths),
+                L=L,
                 k=self.k,
                 W=L + 3 * self.k,
                 n_slots=self.staircase_slots,
@@ -419,16 +422,19 @@ class SuffixFilterAligner:
             )
             return ("uniform", lengths, verify_fwd, out_dev)
         if uniform:
-            # fast path: ONE jit call, one int8 upload, device-side RC
+            # fast path: ONE jit call, one 2-bit-packed upload, device RC
             min_piece = L // self.n_pieces
             use_seed = self.seed_tab is not None and min_piece >= self.seed_j
+            rwords, nmask = pack_reads_2bit(verify_fwd)
             out_dev = fused_align_step(
                 self.fm,
                 self.text_words,
                 self.kmer_tab,
                 self.seed_tab if use_seed else None,
-                jnp.asarray(verify_fwd.astype(np.int8)),
+                jnp.asarray(rwords),
+                jnp.asarray(nmask),
                 jnp.asarray(lengths),
+                L=L,
                 k=self.k,
                 n_pieces=self.n_pieces,
                 max_hits=self.max_hits,
@@ -448,10 +454,9 @@ class SuffixFilterAligner:
         if kind == "uniform":
             _, lengths, verify_fwd, out_dev = handle
             packed = np.asarray(out_dev)  # blocks here, not at submit
-            cand, dist, take_r, n_good, ovf, ham, o_min = packed
-            ovf = ovf.astype(bool)
-            dist = dist.astype(np.int64)
-            cand = cand.astype(np.int64)
+            cand, dist, take_r, n_good, ovf, ham, o_min = _unpack_result(
+                packed, self.k
+            )
             strand = take_r.astype(np.int64)
             mapped = dist <= self.k
             verify_rc = None  # built lazily for slow-path reads only
@@ -877,24 +882,96 @@ def revcomp_verify_batch(batch: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return out
 
 
+def pack_reads_2bit(verify_fwd: np.ndarray):
+    """Host-side 2-bit pack of a (B, L) verify-code batch + N bitmask.
+
+    The tunnelled TPU's per-batch transfer time is bytes-proportional and
+    the dominant non-device cost of the pipelined loop (measured r5:
+    ~275 ms of a 370 ms batch at 65k reads was the 6.5 MB int8 upload +
+    1.8 MB download riding a degraded shared link).  2 bits/base + 1
+    N-mask bit cuts the upload ~3.5x; the device unpacks with two shifts
+    inside the fused step."""
+    B, L = verify_fwd.shape
+    W16 = (L + 15) // 16
+    W32 = (L + 31) // 32
+    c = verify_fwd.astype(np.uint32)
+    isn = c >= 4
+    c2 = np.where(isn, 0, c)
+    pad16 = np.zeros((B, W16 * 16), np.uint32)
+    pad16[:, :L] = c2 << (2 * (np.arange(L, dtype=np.uint32) % 16))
+    rwords = np.bitwise_or.reduce(pad16.reshape(B, W16, 16), axis=2)
+    pad32 = np.zeros((B, W32 * 32), np.uint32)
+    pad32[:, :L] = isn.astype(np.uint32) << (np.arange(L, dtype=np.uint32) % 32)
+    nmask = np.bitwise_or.reduce(pad32.reshape(B, W32, 32), axis=2)
+    return rwords, nmask
+
+
+def _unpack_reads_2bit(rwords, nmask, L: int):
+    """Device-side inverse of pack_reads_2bit -> (B, L) int32 verify codes."""
+    import jax.numpy as jnp
+
+    pos = jnp.arange(L, dtype=jnp.int32)
+    w = rwords[:, pos // 16]
+    code = (w >> (2 * (pos % 16)).astype(jnp.uint32)) & jnp.uint32(3)
+    nb = (nmask[:, pos // 32] >> (pos % 32).astype(jnp.uint32)) & jnp.uint32(1)
+    return jnp.where(nb != 0, jnp.int32(4), code.astype(jnp.int32))
+
+
+def _pack_result(cand, dist, take_r, n_good, ovf, ham, o_min, k):
+    """Pack the per-read result columns into TWO int32 rows (bitfield) —
+    the download is 8 bytes/read instead of 28.  Saturations are
+    harmless: dist saturates at 15 (> any k <= 4 = unmapped), ham at 511
+    (only compared against dist <= k), o_min at 31 (range <= 3k), n_good
+    at 255 (the SAM X0 cap is 8)."""
+    import jax.numpy as jnp
+
+    bf = (
+        jnp.clip(dist, 0, 15)
+        | (take_r.astype(jnp.int32) << 4)
+        | (ovf.astype(jnp.int32) << 5)
+        | (jnp.clip(o_min, 0, 31) << 6)
+        | (jnp.clip(ham, 0, 511) << 11)
+        | (jnp.clip(n_good, 0, 255) << 20)
+    )
+    return jnp.stack([cand, bf])
+
+
+_RESULT_INF = 1 << 20
+
+
+def _unpack_result(packed: np.ndarray, k: int):
+    """Host-side inverse of _pack_result -> the 7 result columns."""
+    cand = packed[0].astype(np.int64)
+    bf = packed[1]
+    dist = (bf & 15).astype(np.int64)
+    dist = np.where(dist > k, _RESULT_INF, dist)  # 15 == saturated INF
+    take_r = (bf >> 4) & 1
+    ovf = ((bf >> 5) & 1).astype(bool)
+    o_min = (bf >> 6) & 31
+    ham = (bf >> 11) & 511
+    n_good = ((bf >> 20) & 255).astype(np.int64)
+    return cand, dist, take_r, n_good, ovf, ham, o_min
+
+
 def _fused_align_step_impl(
-    fm, text_words, kmer_tab, seed_tab, verify_fwd, lengths,
-    *, k, n_pieces, max_hits, kmer_j, kmer_full_cover, max_cands, W, seed_j=0,
-    verify_slack=0, seed_probes=suffix_filter.SEED_PROBES,
+    fm, text_words, kmer_tab, seed_tab, rwords, nmask, lengths,
+    *, L, k, n_pieces, max_hits, kmer_j, kmer_full_cover, max_cands, W,
+    seed_j=0, verify_slack=0, seed_probes=suffix_filter.SEED_PROBES,
 ):
     """Whole per-batch device step in one jit: both strands, candidate
     generation, verify, cross-strand best, fast-CIGAR hamming check.
 
-    One int8 upload (verify codes, N=4), small int32 downloads — minimizes
-    host<->device transfers and dispatch round trips on the tunnelled TPU.
-    Uniform-length batches only (device-side reverse complement)."""
+    One 2-bit-packed upload (+ N mask), one packed 2-row int32 download —
+    minimizes host<->device transfer bytes and dispatch round trips on
+    the tunnelled TPU.  Uniform-length batches only (device-side reverse
+    complement)."""
     import jax
     import jax.numpy as jnp
 
     from ..ops import dp as dp_ops
 
     INF = dp_ops.INF
-    vf = verify_fwd
+    vf = _unpack_reads_2bit(rwords, nmask, L)
     vrc = jnp.where(vf < 4, 3 - vf, vf)[:, ::-1]
 
     # two sequential strand passes: A/B-measured on hardware, the device is
@@ -946,25 +1023,13 @@ def _fused_align_step_impl(
         text_words, fm.n, vsel.astype(jnp.int32), lengths,
         jnp.where(mapped, cand, 0).astype(jnp.int32), k,
     )
-    # ONE packed download: the tunnelled TPU pays a round trip per fetched
-    # array, so 7 small arrays cost more transfer latency than one (7, B)
-    return jnp.stack(
-        [
-            cand,
-            dist,
-            take_r.astype(jnp.int32),
-            n_good,
-            ovf.astype(jnp.int32),
-            ham,
-            o_min,
-        ]
-    )
+    return _pack_result(cand, dist, take_r, n_good, ovf, ham, o_min, k)
 
 
 _fused_cache: dict = {}
 
 
-def fused_align_step(fm, text_words, kmer_tab, seed_tab, verify_fwd, lengths, **static):
+def fused_align_step(fm, text_words, kmer_tab, seed_tab, rwords, nmask, lengths, **static):
     """jit-cached wrapper (static config in the cache key)."""
     import jax
     from functools import partial
@@ -974,11 +1039,11 @@ def fused_align_step(fm, text_words, kmer_tab, seed_tab, verify_fwd, lengths, **
         _fused_cache[key] = jax.jit(
             partial(_fused_align_step_impl, **static)
         )
-    return _fused_cache[key](fm, text_words, kmer_tab, seed_tab, verify_fwd, lengths)
+    return _fused_cache[key](fm, text_words, kmer_tab, seed_tab, rwords, nmask, lengths)
 
 
 def _fused_staircase_step_impl(
-    bi, text_words, verify_fwd, lengths, *, k, W, n_slots, max_hits,
+    bi, text_words, rwords, nmask, lengths, *, L, k, W, n_slots, max_hits,
     verify_slack, narrow_left=False,
 ):
     """Whole staircase (tier-2) step in one jit: device RC, BOTH strands
@@ -992,8 +1057,8 @@ def _fused_staircase_step_impl(
     from . import staircase
 
     INF = dp_ops.INF
-    B = verify_fwd.shape[0]
-    vf = verify_fwd
+    vf = _unpack_reads_2bit(rwords, nmask, L)
+    B = vf.shape[0]
     vrc = jnp.where(vf < 4, 3 - vf, vf)[:, ::-1]
     v2 = jnp.concatenate([vf, vrc], axis=0)
     search2 = jnp.where(v2 >= 4, 0, v2).astype(jnp.int32)
@@ -1033,20 +1098,10 @@ def _fused_staircase_step_impl(
         text_words, bi.fwd.n, vsel.astype(jnp.int32), lengths,
         jnp.where(mapped, cand, 0).astype(jnp.int32), k,
     )
-    return jnp.stack(
-        [
-            cand,
-            dist,
-            take_r.astype(jnp.int32),
-            n_good,
-            ovf.astype(jnp.int32),
-            ham,
-            o_min,
-        ]
-    )
+    return _pack_result(cand, dist, take_r, n_good, ovf, ham, o_min, k)
 
 
-def fused_staircase_step(bi, text_words, verify_fwd, lengths, **static):
+def fused_staircase_step(bi, text_words, rwords, nmask, lengths, **static):
     """jit-cached wrapper (static config in the cache key)."""
     import jax
     from functools import partial
@@ -1054,4 +1109,4 @@ def fused_staircase_step(bi, text_words, verify_fwd, lengths, **static):
     key = ("staircase",) + tuple(sorted(static.items()))
     if key not in _fused_cache:
         _fused_cache[key] = jax.jit(partial(_fused_staircase_step_impl, **static))
-    return _fused_cache[key](bi, text_words, verify_fwd, lengths)
+    return _fused_cache[key](bi, text_words, rwords, nmask, lengths)
