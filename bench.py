@@ -317,10 +317,14 @@ def bench_pipeline(metrics):
     # pipelined: submit batch b+1 before finishing batch b (host assembly
     # overlaps device compute; jax dispatch is async; array-native API —
     # contiguous (B, L) batches, column-array results)
+    from genome_weaver_align_tpu.models.pipeline import prefetch_result
+
     pending = submit(0)
+    prefetch_result(pending)
     for b in range(HEADLINE_BATCHES):
         tb = time.time()
         nxt = submit(b + 1) if b + 1 < HEADLINE_BATCHES else None
+        prefetch_result(nxt)
         ah = al.align_arrays_finish(pending)
         pending = nxt
         batch_times.append(time.time() - tb)
@@ -364,13 +368,17 @@ def _run_pipeline_batches(al, rarr, lengths_row, n_batches, tol_pos, true_pos, t
     def submit(b):
         return al.align_arrays_submit(rarr[b * B : (b + 1) * B], lengths_row)
 
+    from genome_weaver_align_tpu.models.pipeline import prefetch_result
+
     al.align_arrays_finish(submit(0))  # warmup/compile
     n_mapped = n_correct = n_overflow = 0
     batch_times, all_ah = [], []
     pending = submit(0)
+    prefetch_result(pending)
     for b in range(n_batches):
         tb = time.time()
         nxt = submit(b + 1) if b + 1 < n_batches else None
+        prefetch_result(nxt)
         ah = al.align_arrays_finish(pending)
         pending = nxt
         batch_times.append(time.time() - tb)

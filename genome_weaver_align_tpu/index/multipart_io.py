@@ -325,6 +325,7 @@ class FlatPart:
     fm: object  # DeviceFMIndex (real, or dummy tables when want_fm=False —
     # the seed streaming path reads only fm.n / fm.C, never the FM arrays)
     text_words: object  # device (nw,) uint32
+    text_host: object  # host (nw,) uint32 (slow-path window decode)
     seed_tab: tuple | None  # (offsets, positions) on device
     genome: object  # index.files.Genome (names/offsets, empty codes)
     n: int
@@ -382,7 +383,8 @@ def load_part_flat(
             n=n,
             sample_rate=manifest["sample_rate"],
         )
-    text = jnp.asarray(get("text_words"))
+    text_host = get("text_words")
+    text = jnp.asarray(text_host)
     seed = None
     if want_seed:
         seed = (
@@ -401,6 +403,7 @@ def load_part_flat(
     return FlatPart(
         fm=fm,
         text_words=text,
+        text_host=text_host,
         seed_tab=seed,
         genome=genome,
         n=n,
@@ -534,11 +537,15 @@ def _rescue_with(al2, reads, un, best: "_Best", goff: int, L: int, chunk=2048):
         sel = np.concatenate([ch, np.full(P - ch.size, ch[0], ch.dtype)])
         return al2.align_arrays_submit(reads[sel], np.full(P, L, np.int32))
 
+    from ..models.pipeline import prefetch_result as _pf
+
     chunks = [un[o : o + chunk] for o in range(0, un.size, chunk)]
     n_rescued = 0
     pending = submit(chunks[0])
+    _pf(pending)
     for ci, ch in enumerate(chunks):
         nxt = submit(chunks[ci + 1]) if ci + 1 < len(chunks) else None
+        _pf(nxt)
         ah = al2.align_arrays_finish(pending)
         pending = nxt
         better = best.merge(ch, ah, goff, m=ch.size)
@@ -585,6 +592,7 @@ def align_stream_multipart(
 
     from ..index.files import GenomeIndex as _GI
     from ..models.pipeline import SuffixFilterAligner
+    from ..models.pipeline import prefetch_result as _prefetch
 
     if stats is None:
         stats = {}
@@ -628,9 +636,11 @@ def align_stream_multipart(
         stats.setdefault("first_submit_s", []).append(
             round(time.time() - t0, 1)
         )
+        _prefetch(pending)
         for b in range(n_batches):
             tb = time.time()
             nxt = submit(b + 1) if b + 1 < n_batches else None
+            _prefetch(nxt)
             ah = al.align_arrays_finish(pending)
             pending = nxt
             dt = (time.time() - tb) * 1e3
@@ -673,7 +683,10 @@ def align_stream_multipart(
                 _GI(fp.genome, None, None), k=k,
                 max_hits_per_piece=max_hits, max_cands=max_cands,
                 verify_slack=slack,
-                device_tables={"fm": fp.fm, "text": fp.text_words},
+                device_tables={
+                    "fm": fp.fm, "text": fp.text_words,
+                    "text_host": fp.text_host,
+                },
             )
             al.seed_tab = fp.seed_tab
             al.seed_j = fp.seed_j
@@ -729,6 +742,7 @@ def align_stream_multipart(
                     )
                 if p == last:
                     fp_r = fp  # text already on device; add real FM
+                    text_host = fp.text_host
                     from ..ops import rank as _rank
 
                     d = flat_dir(mi.part_dir, p)
@@ -749,13 +763,17 @@ def align_stream_multipart(
                     )
                     fm_real = fp_r.fm
                     text_dev = fp_r.text_words
+                    text_host = fp_r.text_host
                 rev = load_rev_flat(mi.part_dir, p, arrays=arrs)
                 al2 = SuffixFilterAligner(
                     _GI(fp_r.genome, None, None), k=k, max_hits_per_piece=8,
                     use_staircase=True, verify_slack=16,
                     overflow_fallback=False, staircase_slots=64,
                     staircase_narrow_left=True,
-                    device_tables={"fm": fm_real, "text": text_dev, "rev": rev},
+                    device_tables={
+                        "fm": fm_real, "text": text_dev, "rev": rev,
+                        "text_host": text_host,
+                    },
                 )
                 jax.block_until_ready((fm_real.blocks, rev.blocks))
                 load_s += time.time() - tp

@@ -268,14 +268,12 @@ class LongReadAligner:
                 l = int(lengths[i])
                 src = vrc_np if strand[i] else verify_fwd
                 vcodes[t, :l] = src[i, :l]
-            # ONE device gather for all traceback windows — the per-read
-            # host `extract` loop here was ~all of the batch wall time
-            # (256 x ~4.4 kbp packed-word decodes in Python)
-            wins = np.asarray(
-                window.gather_windows(
-                    self.text_words, self.fm.n,
-                    jnp.asarray(ws_all.astype(np.int32)), Wb,
-                )
+            # vectorised HOST decode for all traceback windows — the old
+            # per-read python `extract` loop was ~all of the batch wall
+            # time, and a device gather would serialize behind queued
+            # mapping batches (see ops.window.gather_windows_host)
+            wins = window.gather_windows_host(
+                self.gi.fwd.text_words, self.fm.n, ws_all, Wb
             ).astype(np.int64)
             sc, start, cig, nm = affine.affine_banded_batch(
                 vcodes, lens_s, wins, kb2

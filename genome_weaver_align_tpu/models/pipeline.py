@@ -162,6 +162,20 @@ class ArrayHits(NamedTuple):
     # entries across batches.
 
 
+def prefetch_result(handle) -> None:
+    """Start the device->host copy of a submitted batch's packed result
+    EARLY (non-blocking).  Called by pipelined drivers right after
+    submitting batch N+1: the D2H transfer then starts the moment the
+    device finishes batch N instead of waiting for the host to reach
+    ``align_arrays_finish`` — one less serialized tunnel round trip per
+    batch."""
+    if handle and handle[0] == "uniform":
+        try:
+            handle[3].copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+
+
 def hits_from_arrays(ah: ArrayHits) -> list[ApproxHit | None]:
     """ArrayHits -> per-read ApproxHit list (SAM-writer compatibility)."""
     cigar_cache = {int(l): f"{l}M" for l in np.unique(ah.lengths)}
@@ -237,9 +251,14 @@ class SuffixFilterAligner:
         if device_tables is not None:
             self.fm = device_tables["fm"]
             self.text_words = device_tables["text"]
+            # host packed text for the slow-path window decode (a device
+            # gather from the finish path would queue behind the next
+            # pipelined batch); optional — None falls back to the device
+            self.text_host = device_tables.get("text_host")
         else:
             self.fm = rank.from_host(gi.fwd)
             self.text_words = jnp.asarray(gi.fwd.text_words)
+            self.text_host = gi.fwd.text_words
         self.use_staircase = use_staircase
         self.verify_mode = verify_mode
         self.kmer_tab = None
@@ -542,23 +561,30 @@ class SuffixFilterAligner:
                 else:
                     vc = vsel[i]
                 vcodes[t, :l] = vc[:l]
-            # traceback windows in ONE device gather (out-of-range -> 4,
-            # same fill the old per-read host ``extract`` loop produced —
-            # which unpacked ~3k x 165 codes in Python per chr1 batch)
-            import jax.numpy as jnp
-
+            # traceback windows decoded on HOST (vectorised, out-of-range
+            # -> 4): a device gather here — however tiny — enqueues behind
+            # the NEXT pipelined batch's compute on the in-order queue and
+            # was measured to stall every finish ~300 ms (r5); when no
+            # host text is available, fall back to the device gather
             from ..ops import window as window_ops
 
-            G = max(128, 1 << (S - 1).bit_length())
-            gs = np.concatenate(
-                [ws_all[slow_idx], np.full(G - S, ws_all[slow_idx[0]])]
-            )
-            wins = np.asarray(
-                window_ops.gather_windows(
-                    self.text_words, self.fm.n,
-                    jnp.asarray(gs.astype(np.int32)), Wb,
+            if self.text_host is not None:
+                wins = window_ops.gather_windows_host(
+                    self.text_host, self.fm.n, ws_all[slow_idx], Wb
+                ).astype(np.int64)
+            else:
+                import jax.numpy as jnp
+
+                G = max(128, 1 << (S - 1).bit_length())
+                gs = np.concatenate(
+                    [ws_all[slow_idx], np.full(G - S, ws_all[slow_idx[0]])]
                 )
-            )[:S].astype(np.int64)
+                wins = np.asarray(
+                    window_ops.gather_windows(
+                        self.text_words, self.fm.n,
+                        jnp.asarray(gs.astype(np.int32)), Wb,
+                    )
+                )[:S].astype(np.int64)
             if self.scored:
                 # scored emission: the affine engine alone supplies
                 # CIGAR/POS/NM/AS; ``dist`` is already the banded edit
@@ -894,15 +920,25 @@ def pack_reads_2bit(verify_fwd: np.ndarray):
     B, L = verify_fwd.shape
     W16 = (L + 15) // 16
     W32 = (L + 31) // 32
-    c = verify_fwd.astype(np.uint32)
-    isn = c >= 4
-    c2 = np.where(isn, 0, c)
-    pad16 = np.zeros((B, W16 * 16), np.uint32)
-    pad16[:, :L] = c2 << (2 * (np.arange(L, dtype=np.uint32) % 16))
-    rwords = np.bitwise_or.reduce(pad16.reshape(B, W16, 16), axis=2)
-    pad32 = np.zeros((B, W32 * 32), np.uint32)
-    pad32[:, :L] = isn.astype(np.uint32) << (np.arange(L, dtype=np.uint32) % 32)
-    nmask = np.bitwise_or.reduce(pad32.reshape(B, W32, 32), axis=2)
+    # byte-wise pack (uint8 ops on L/4 columns, then a little-endian u32
+    # view — bit k of word w is base 16w + k/2, matching the device
+    # unpack); the first all-u32 formulation cost ~100 ms at 65k x 100
+    # on this 2-core host, which ate the transfer saving it bought
+    c = np.zeros((B, W16 * 16), np.uint8)
+    cl = verify_fwd.astype(np.uint8, copy=False)
+    isn = cl >= 4
+    c[:, :L] = np.where(isn, 0, cl)
+    b4 = (
+        c[:, 0::4]
+        | (c[:, 1::4] << 2)
+        | (c[:, 2::4] << 4)
+        | (c[:, 3::4] << 6)
+    )
+    rwords = np.ascontiguousarray(b4).view("<u4")
+    nm = np.packbits(isn, axis=1, bitorder="little")
+    nmb = np.zeros((B, W32 * 4), np.uint8)
+    nmb[:, : nm.shape[1]] = nm
+    nmask = nmb.view("<u4")
     return rwords, nmask
 
 

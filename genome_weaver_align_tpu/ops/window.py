@@ -43,3 +43,31 @@ def gather_windows(
         )
     codes = (codes & jnp.uint32(3)).astype(jnp.int8)
     return jnp.where(valid, codes, jnp.int8(4))
+
+
+def gather_windows_host(text_words, n: int, starts, width: int):
+    """NumPy twin of ``gather_windows`` for small host-side cohorts.
+
+    The slow-path CIGAR traceback needs a few dozen windows per batch;
+    issuing a DEVICE gather for them from the finish path enqueues a tiny
+    op BEHIND the next pipelined batch's compute on the in-order queue —
+    measured r5: ~300 ms of every 65k headline batch was that wait (the
+    same finish takes ~30 ms when nothing is queued).  Decoding the few
+    windows from the packed words on host costs microseconds and keeps
+    the device queue untouched.  Same semantics: (Q, width) codes, 4 out
+    of range."""
+    import numpy as np
+
+    starts = np.asarray(starts, dtype=np.int64)
+    nw = width // 16 + 2
+    w0 = starts >> 4
+    widx = w0[:, None] + np.arange(nw, dtype=np.int64)[None, :]
+    words = np.asarray(text_words)[np.clip(widx, 0, len(text_words) - 1)]
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+    codes = ((words[:, :, None] >> shifts) & 3).astype(np.int8)
+    codes = codes.reshape(starts.size, nw * 16)
+    off = (starts - (w0 << 4)).astype(np.int64)
+    cols = off[:, None] + np.arange(width, dtype=np.int64)[None, :]
+    out = np.take_along_axis(codes, cols, axis=1)
+    pos = starts[:, None] + np.arange(width, dtype=np.int64)[None, :]
+    return np.where((pos >= 0) & (pos < n), out, np.int8(4))

@@ -59,7 +59,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from genome_weaver_align_tpu.index.files import Genome, GenomeIndex
-    from genome_weaver_align_tpu.models.pipeline import SuffixFilterAligner
+    from genome_weaver_align_tpu.models.pipeline import (
+        SuffixFilterAligner,
+        prefetch_result,
+    )
 
     B, NB = args.batch_size, args.batches
     codes, fm = build_or_load_index(CHR20, tag="chr20_r8", sample_rate=8)
@@ -87,10 +90,12 @@ def main():
     # ---- A: depth-1 ----
     sub_t, fin_t, tot_t = [], [], []
     pending = submit(0)
+    prefetch_result(pending)
     t_all = time.perf_counter()
     for b in range(NB):
         tb = time.perf_counter()
         nxt = submit(b + 1) if b + 1 < NB else None
+        prefetch_result(nxt)
         t1 = time.perf_counter()
         al.align_arrays_finish(pending)
         t2 = time.perf_counter()
