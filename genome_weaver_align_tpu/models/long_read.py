@@ -237,8 +237,14 @@ class LongReadAligner:
         (pf, df, sf_), (pr, dr, sr_) = [tuple(np.asarray(x) for x in o) for o in outs]
 
         max_d = np.maximum(1, (self.max_edit_frac * lengths)).astype(np.int64)
-        ok_f = (sf_ >= self.min_support) & (df <= max_d) & (pf != NO_CAND)
-        ok_r = (sr_ >= self.min_support) & (dr <= max_d) & (pr != NO_CAND)
+        # int(): NO_CAND is a jnp scalar, and np_array != jnp_scalar silently
+        # promotes the WHOLE host result chain to jax arrays — every scalar
+        # access in the traceback loop below then pays a ~17 ms device
+        # round-trip (measured: 13.7 s of a 14.1 s batch; the r4 bench's
+        # "9.2 reads/s CIGAR" was exactly this)
+        nc = int(NO_CAND)
+        ok_f = (sf_ >= self.min_support) & (df <= max_d) & (pf != nc)
+        ok_r = (sr_ >= self.min_support) & (dr <= max_d) & (pr != nc)
         take_r = ok_r & (~ok_f | (dr < df) | ((dr == df) & (pr < pf)))
         mapped = ok_f | ok_r
         pos = np.where(take_r, pr, pf).astype(np.int64)

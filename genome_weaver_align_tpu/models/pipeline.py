@@ -630,9 +630,13 @@ class SuffixFilterAligner:
             ah = self._apply_overflow_fallback(ah, verify_fwd, np.asarray(lengths))
         return ah
 
-    FB_CHUNK = 1024  # tier-1 rerun chunk size: bounds the fallback step's
-    # verify temps (bucket x max_cands x ~16L bytes) so they fit beside
-    # multi-GB Gbp-part tables; one compile shape for any cohort size
+    FB_CHUNK = 4096  # tier-1 rerun chunk size: bounds the fallback step's
+    # verify temps (bucket x max_cands x ~16L bytes ~= 4096 x 192 x 155 B
+    # ~= 122 MB of windows + DP temps) so they fit beside multi-GB
+    # Gbp-part tables; one compile shape for any cohort size.  r5: raised
+    # from 1024 — the repeat bench's ~3.3k-read cohort ran FOUR serial
+    # chunk dispatches per batch (~420 ms of tier-1); one 4096 chunk
+    # halves that, and the temps stay <1% of HBM
 
     FB_MULT = 16  # tier-1 fallback budget multiplier.  Swept on the repeat
     # bench cohort (7,967 flooded reads of 32k, chr20-scale 25%-repeat
@@ -747,8 +751,10 @@ class SuffixFilterAligner:
 
         still_parts = []
         pending = _submit(*chunks[0])
+        prefetch_result(pending)
         for ci, (ch, P) in enumerate(chunks):
             nxt = _submit(*chunks[ci + 1]) if ci + 1 < len(chunks) else None
+            prefetch_result(nxt)
             fh = fb.align_arrays_finish(pending)
             pending = nxt
             m = ch.size
