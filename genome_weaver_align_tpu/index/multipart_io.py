@@ -618,7 +618,7 @@ def align_stream_multipart(
 
     pool = ThreadPoolExecutor(1)
 
-    def _stream_part(al, goff, p):
+    def _stream_part(al, goff, p, deferred=None):
         nonlocal align_s
         t0 = time.time()
 
@@ -652,7 +652,54 @@ def align_stream_multipart(
             log(f"part {p} batch {b}: {dt:.0f} ms, stats={al.last_stats}")
             sl = np.arange(b * batch, (b + 1) * batch)
             best.merge(sl, ah, goff)
+            if deferred is not None:
+                ovun = np.asarray(ah.overflow, bool) & ~np.asarray(
+                    ah.mapped, bool
+                )
+                deferred.append(sl[ovun])
         align_s += time.time() - t0
+
+    def _deferred_tier1(al, goff, p, cohorts):
+        """Bigger-budget rerun of the part's overflow-unmapped tail, ONCE
+        per part instead of once per batch: a per-batch tier-1 call —
+        however small its cohort — queues behind the NEXT pipelined
+        batch's primary on the in-order device queue and was measured to
+        stretch every 8k-read gbp batch from ~50 ms to ~400 ms.  Results
+        are per-read deterministic, so deferring changes nothing but the
+        schedule; the improve-merge is equivalent to the per-batch
+        replace (the cohort is unmapped by construction)."""
+        nonlocal align_s
+        cohort = np.concatenate(cohorts) if cohorts else np.zeros(0, np.int64)
+        stats["n_overflow_rerun"] += int(cohort.size)
+        if not cohort.size:
+            return
+        t0 = time.time()
+        fb = al._get_fb()
+        CH = fb.FB_CHUNK
+
+        def submit(ch):
+            P = CH if cohort.size > CH else max(
+                128, 1 << (int(ch.size) - 1).bit_length()
+            )
+            sel = np.concatenate([ch, np.full(P - ch.size, ch[0], ch.dtype)])
+            return fb.align_arrays_submit(reads[sel], np.full(P, L, np.int32))
+
+        chunks = [cohort[o : o + CH] for o in range(0, cohort.size, CH)]
+        pending = submit(chunks[0])
+        _prefetch(pending)
+        for ci, ch in enumerate(chunks):
+            nxt = submit(chunks[ci + 1]) if ci + 1 < len(chunks) else None
+            _prefetch(nxt)
+            ah = fb.align_arrays_finish(pending)
+            pending = nxt
+            best.merge(ch, ah, goff, m=ch.size)
+        dt = time.time() - t0
+        align_s += dt
+        stats["tier1_ms"] += round(dt * 1e3, 1)
+        log(
+            f"part {p} deferred tier-1: {cohort.size} overflow-unmapped "
+            f"reads in {dt:.2f}s"
+        )
 
     # ---------------------------- flat path ----------------------------
     if flat:
@@ -683,6 +730,7 @@ def align_stream_multipart(
                 _GI(fp.genome, None, None), k=k,
                 max_hits_per_piece=max_hits, max_cands=max_cands,
                 verify_slack=slack,
+                overflow_fallback=False,  # tier-1 runs DEFERRED per part
                 device_tables={
                     "fm": fp.fm, "text": fp.text_words,
                     "text_host": fp.text_host,
@@ -706,7 +754,9 @@ def align_stream_multipart(
                 f"part {p}: flat load+upload in {dt:.1f}s (n={fp.n}, "
                 f"max_hits={max_hits}, max_cands={max_cands}, slack={slack})"
             )
-            _stream_part(al, fp.global_offset, p)
+            deferred: list = []
+            _stream_part(al, fp.global_offset, p, deferred=deferred)
+            _deferred_tier1(al, fp.global_offset, p, deferred)
             if p != last:
                 del al, fp
                 gc.collect()
