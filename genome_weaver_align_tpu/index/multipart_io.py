@@ -526,10 +526,17 @@ class _Best:
         return better
 
 
-def _rescue_with(al2, reads, un, best: "_Best", goff: int, L: int, chunk=2048):
+def _rescue_with(al2, reads, un, best: "_Best", goff: int, L: int, chunk=1024):
     """Staircase-rescue the reads at indices ``un`` against one part,
     improve-merging into ``best``.  Chunks are pipelined (submit N+1
-    before finishing N) so device work overlaps host merge."""
+    before finishing N) so device work overlaps host merge.
+
+    chunk=1024: the narrow-left staircase program at 2048-read chunks
+    (4096 strand-stacked lanes) reproducibly CRASHES the TPU worker
+    ("kernel fault"; isolated repro r5 — 1024 chunks and non-narrow 2048
+    chunks both run fine), so the rescue stays at the proven shape; the
+    staircase is depth-bound, so two 1024 chunks cost ~the same as one
+    2048 chunk anyway."""
     def submit(ch):
         P = chunk if un.size > chunk else max(
             128, 1 << (int(ch.size) - 1).bit_length()
@@ -696,6 +703,7 @@ def align_stream_multipart(
         dt = time.time() - t0
         align_s += dt
         stats["tier1_ms"] += round(dt * 1e3, 1)
+        stats.setdefault("tier1_part_s", []).append(round(dt, 2))
         log(
             f"part {p} deferred tier-1: {cohort.size} overflow-unmapped "
             f"reads in {dt:.2f}s"
