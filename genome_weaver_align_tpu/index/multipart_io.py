@@ -521,7 +521,17 @@ class _Best:
         self.dist[rows] = np.where(better, d, cur_d)
         self.gpos[rows] = np.where(better, g, cur_g)
         self.strand[rows] = np.where(better, st, cur_s)
-        self.n_good[rows] = np.where(better, ah.n_good[:m], self.n_good[rows])
+        # n_good ACCUMULATES across parts: a read unique within its winning
+        # part but with an equal-distance copy in another part is genuinely
+        # ambiguous, and the winner's per-part count alone under-flags it
+        # (measured r5: 1/131k position-wrong read "claimed unique" until
+        # cross-part summing).  Per part the count already covers both
+        # strands; rescue passes only touch reads whose streaming counts
+        # were 0 (unmapped => no within-threshold candidate), so summing
+        # never double-counts a part.
+        self.n_good[rows] = self.n_good[rows] + np.asarray(
+            ah.n_good[:m], np.int64
+        )
         self.overflow[rows] |= np.asarray(ah.overflow[:m], bool)
         return better
 
@@ -776,85 +786,83 @@ def align_stream_multipart(
                 best.strand[:N].copy(),
             )
 
-        # ---- deferred tier-2: staircase rescue, last part's text resident
+        # ---- deferred tier-2: two-tier staircase rescue, ALL parts
+        # co-resident.  Rescue tables are ~3.5 GB/part (FM + rev + text,
+        # no seed table), so every part's tables fit HBM together for the
+        # 2-part human-scale artifact; loading once and running both
+        # tiers avoids a second reload sweep.  Tier A is the PLAIN
+        # staircase (cheap) over the whole unmapped cohort; tier B is the
+        # narrow-left + mismatch-biased staircase (~4x the per-read cost,
+        # measured) over only the reads tier A still could not place —
+        # the split cut the warm rescue from ~139 s to ~60 s at 131k
+        # reads while keeping mapped 1.0.
         un = np.nonzero(best.dist[:N] > k)[0]
         stats["un_before_rescue"] = int(un.size)
         stats["rescued"] = 0
         if un.size and rescue_planned:
-            # drop the seed table BEFORE uploading FM + reverse tables
-            # (seed + FM + rev together exceed one v5e's HBM next to temps)
+            # drop the streaming tables BEFORE uploading rescue tables
             al.seed_tab = None
             fp.seed_tab = None
             if al._fb is not None:  # the tier-1 copy holds its own seed ref
                 al._fb.seed_tab = None
+            del al, fp
             gc.collect()
             order = [last] + list(range(mi.n_parts - 1))
             rescue_arrays = nxt_arrays  # prefetched during the last stream
+            parts_res = []
+            tp = time.time()
             for ri, p in enumerate(order):
-                tp = time.time()
                 arrs = rescue_arrays.result()
                 if ri + 1 < len(order):
                     rescue_arrays = pool.submit(
                         _read_part_arrays, mi.part_dir, order[ri + 1],
                         _FM_ARRAYS + _REV_ARRAYS,
                     )
-                if p == last:
-                    fp_r = fp  # text already on device; add real FM
-                    text_host = fp.text_host
-                    from ..ops import rank as _rank
-
-                    d = flat_dir(mi.part_dir, p)
-                    manifest = json.loads((d / "manifest.json").read_text())
-                    fm_real = _rank.from_arrays(
-                        blocks=arrs["blocks"], C=np.asarray(manifest["C"]),
-                        primary=manifest["primary"],
-                        mark_blocks=arrs["mark_blocks"],
-                        mark_cp=arrs["mark_cp"],
-                        ssa_values=arrs["ssa_values"], n=manifest["n"],
-                        sample_rate=manifest["sample_rate"],
-                    )
-                    text_dev = fp.text_words
-                else:
-                    fp_r = load_part_flat(
-                        mi.part_dir, p, want_seed=False, want_fm=True,
-                        arrays=arrs,
-                    )
-                    fm_real = fp_r.fm
-                    text_dev = fp_r.text_words
-                    text_host = fp_r.text_host
+                fp_r = load_part_flat(
+                    mi.part_dir, p, want_seed=False, want_fm=True,
+                    arrays=arrs,
+                )
                 rev = load_rev_flat(mi.part_dir, p, arrays=arrs)
-                al2 = SuffixFilterAligner(
+                jax.block_until_ready((fp_r.fm.blocks, rev.blocks))
+                parts_res.append((p, fp_r, rev))
+            load_s += time.time() - tp
+            stats.setdefault("rescue_load_s", 0.0)
+            stats["rescue_load_s"] += time.time() - tp
+
+            def _mk(fp_r, rev, narrow):
+                return SuffixFilterAligner(
                     _GI(fp_r.genome, None, None), k=k, max_hits_per_piece=8,
                     use_staircase=True, verify_slack=16,
                     overflow_fallback=False, staircase_slots=64,
-                    staircase_narrow_left=True,
+                    staircase_narrow_left=narrow,
                     device_tables={
-                        "fm": fm_real, "text": text_dev, "rev": rev,
-                        "text_host": text_host,
+                        "fm": fp_r.fm, "text": fp_r.text_words, "rev": rev,
+                        "text_host": fp_r.text_host,
                     },
                 )
-                jax.block_until_ready((fm_real.blocks, rev.blocks))
-                load_s += time.time() - tp
-                stats.setdefault("rescue_load_s", 0.0)
-                stats["rescue_load_s"] += time.time() - tp
-                t0 = time.time()
-                n_r = _rescue_with(
-                    al2, reads, un, best, fp_r.global_offset, L
-                )
-                align_s += time.time() - t0
-                stats.setdefault("rescue_part_s", []).append(
-                    round(time.time() - t0, 1)
-                )
-                stats["rescued"] += n_r
-                log(
-                    f"rescue part {p}: {un.size} unmapped reads in "
-                    f"{time.time()-t0:.1f}s, improved {n_r}"
-                )
-                if p == last:
-                    del al, fp, fm_real, rev, al2
-                else:
-                    del al2, fp_r, fm_real, rev
-                gc.collect()
+
+            for tier, narrow in (("A/plain", False), ("B/narrow", True)):
+                cohort = np.nonzero(best.dist[:N] > k)[0] if narrow else un
+                if not cohort.size:
+                    break
+                for p, fp_r, rev in parts_res:
+                    t0 = time.time()
+                    n_r = _rescue_with(
+                        _mk(fp_r, rev, narrow), reads, cohort, best,
+                        fp_r.global_offset, L,
+                    )
+                    align_s += time.time() - t0
+                    stats.setdefault("rescue_part_s", []).append(
+                        round(time.time() - t0, 1)
+                    )
+                    stats["rescued"] += n_r
+                    log(
+                        f"rescue tier {tier} part {p}: {cohort.size} "
+                        f"unmapped reads in {time.time()-t0:.1f}s, "
+                        f"improved {n_r}"
+                    )
+            del parts_res
+            gc.collect()
         else:
             del al, fp
             gc.collect()
