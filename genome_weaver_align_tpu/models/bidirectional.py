@@ -95,11 +95,21 @@ def extend_forward(bi: DeviceBiIndex, st: BiInterval, c: jax.Array) -> BiInterva
     return BiInterval(lo2, lo2 + cc, rlo2, rlo2 + cc)
 
 
+def _occ_all4_pair(fm, a: jax.Array, b: jax.Array):
+    """occ_all4 at two coordinate tensors via ONE stacked row gather.
+
+    The staircase's sequential extension steps are gather-latency priced
+    (each step waits on its occ rows before the next), so folding the
+    lo/hi lookups into a single wider gather halves the dependent gather
+    rounds per step — the same trick ``rank.backward_step`` uses."""
+    both = rank.occ_all4(fm, jnp.stack([a, b], axis=0))
+    return both[0], both[1]
+
+
 def extend_backward_all4(bi: DeviceBiIndex, st: BiInterval) -> BiInterval:
     """All four backward extensions at once: result arrays get a trailing
     axis of size 4 (used by branching approximate search)."""
-    occ_lo = rank.occ_all4(bi.fwd, st.lo)
-    occ_hi = rank.occ_all4(bi.fwd, st.hi)
+    occ_lo, occ_hi = _occ_all4_pair(bi.fwd, st.lo, st.hi)
     cnt = occ_hi - occ_lo
     p = bi.fwd.primary
     s = ((st.lo <= p) & (p < st.hi)).astype(jnp.int32)[..., None]
@@ -110,8 +120,7 @@ def extend_backward_all4(bi: DeviceBiIndex, st: BiInterval) -> BiInterval:
 
 
 def extend_forward_all4(bi: DeviceBiIndex, st: BiInterval) -> BiInterval:
-    occ_rlo = rank.occ_all4(bi.rev, st.rlo)
-    occ_rhi = rank.occ_all4(bi.rev, st.rhi)
+    occ_rlo, occ_rhi = _occ_all4_pair(bi.rev, st.rlo, st.rhi)
     cnt = occ_rhi - occ_rlo
     p = bi.rev.primary
     s = ((st.rlo <= p) & (p < st.rhi)).astype(jnp.int32)[..., None]
